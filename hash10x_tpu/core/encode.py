@@ -1,0 +1,73 @@
+"""Base encoding and 2-bit packing (host side: numpy; device side: jnp).
+
+Models the reference's ``dna2indexConv`` tables (``readseq.c``/``seqio.c``,
+SURVEY.md §3.1 #17 [M]): a/A->0 c/C->1 g/G->2 t/T->3; everything else is the
+invalid code 4 (the reference maps unknowns to negatives; we use one sentinel
+since only valid/invalid matters downstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "BAD",
+    "ascii_to_codes",
+    "codes_to_ascii",
+    "pack_2bit",
+    "unpack_2bit",
+    "revcomp_codes",
+]
+
+BAD = np.uint8(4)
+
+_LUT = np.full(256, BAD, dtype=np.uint8)
+for _c, _v in (("a", 0), ("c", 1), ("g", 2), ("t", 3)):
+    _LUT[ord(_c)] = _v
+    _LUT[ord(_c.upper())] = _v
+
+_BASES = np.frombuffer(b"acgtn", dtype=np.uint8)
+
+
+def ascii_to_codes(s) -> np.ndarray:
+    """bytes/str/uint8-array of DNA -> uint8 base codes (4 = invalid)."""
+    if isinstance(s, str):
+        s = s.encode()
+    a = np.frombuffer(s, dtype=np.uint8) if isinstance(s, (bytes, bytearray)) else np.asarray(s, np.uint8)
+    return _LUT[a]
+
+
+def codes_to_ascii(codes: np.ndarray) -> bytes:
+    return _BASES[np.minimum(np.asarray(codes, np.uint8), 4)].tobytes()
+
+
+def revcomp_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement; invalid codes stay invalid."""
+    c = np.asarray(codes, np.uint8)[::-1]
+    return np.where(c <= 3, 3 - c, c).astype(np.uint8)
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """(..., L) base codes -> (..., ceil(L/16)) uint32, base j in bits [2j%32).
+
+    Invalid codes are packed as 0 (='a') — packed storage is for validated reads
+    (the reference's ``.fqb`` is likewise 2-bit with no N channel, SURVEY.md §3.3).
+    """
+    c = np.asarray(codes, np.uint8)
+    L = c.shape[-1]
+    pad = (-L) % 16
+    if pad:
+        c = np.concatenate([c, np.zeros(c.shape[:-1] + (pad,), np.uint8)], axis=-1)
+    c = np.where(c <= 3, c, 0).astype(np.uint32)
+    c = c.reshape(c.shape[:-1] + (-1, 16))
+    shifts = (2 * np.arange(16, dtype=np.uint32))
+    return (c << shifts).sum(axis=-1, dtype=np.uint32)
+
+
+def unpack_2bit(packed: np.ndarray, length: int) -> np.ndarray:
+    """Inverse of :func:`pack_2bit` -> (..., length) uint8 codes."""
+    p = np.asarray(packed, np.uint32)[..., :, None]
+    shifts = (2 * np.arange(16, dtype=np.uint32))
+    c = (p >> shifts) & 3
+    c = c.reshape(c.shape[:-2] + (-1,))
+    return c[..., :length].astype(np.uint8)
