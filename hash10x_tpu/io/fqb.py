@@ -1,0 +1,104 @@
+"""Packed binary read container — the framework's ``.fqb`` analog.
+
+The reference reads 2-bit packed reads with barcode ids from its ``.fqb`` format
+(``hash10x.c:~readFQB``, SURVEY.md §3.1 #2; byte layout [L]-confidence and
+unverifiable while the mount is empty).  Per SURVEY.md §3.3's compatibility ruling,
+the container format is ours (semantic outputs are the contract); this module defines
+it plus a FASTQ importer.  Layout: an uncompressed ``.npz`` holding
+
+* ``packed   (N, ceil(L/16)) uint32`` — 2-bit packed bases (N bases packed as 'a')
+* ``lengths  (N,) int32``
+* ``barcode_ids (N,) int32`` — index into ``barcode_keys`` (-1 = invalid/no barcode)
+* ``barcode_keys (C,) uint32`` — distinct 16bp barcodes, 2-bit packed, sorted
+  (so barcode id order is deterministic, independent of read order)
+* ``meta`` — json: version, read length, counts
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.encode import pack_2bit, unpack_2bit
+from .fastq import ReadBatch, read_fastq, extract_barcodes
+
+__all__ = ["Fqb", "save_fqb", "load_fqb", "fastq_to_fqb", "from_read_batch"]
+
+_VERSION = 1
+_INVALID = np.uint32(0xFFFFFFFF)
+
+
+@dataclass
+class Fqb:
+    packed: np.ndarray        # (N, W) uint32
+    lengths: np.ndarray       # (N,) int32
+    barcode_ids: np.ndarray   # (N,) int32, -1 = invalid
+    barcode_keys: np.ndarray  # (C,) uint32 sorted
+    read_len: int
+
+    def __len__(self):
+        return self.packed.shape[0]
+
+    @property
+    def n_barcodes(self) -> int:
+        return int(self.barcode_keys.shape[0])
+
+    def codes(self) -> np.ndarray:
+        """Unpack to (N, read_len) uint8 base codes (padding beyond lengths is 'a';
+        mask with lengths downstream)."""
+        return unpack_2bit(self.packed, self.read_len)
+
+
+def from_read_batch(batch: ReadBatch, barcodes: Optional[np.ndarray] = None) -> Fqb:
+    """Dense reads (+ per-read u32 barcode keys) -> Fqb with dense barcode ids."""
+    n, L = batch.codes.shape
+    keys = batch.barcodes if barcodes is None else barcodes
+    if keys is None:
+        keys = np.full(n, _INVALID, np.uint32)
+    valid = keys != _INVALID
+    uniq = np.unique(keys[valid])
+    ids = np.full(n, -1, np.int32)
+    ids[valid] = np.searchsorted(uniq, keys[valid]).astype(np.int32)
+    return Fqb(
+        packed=pack_2bit(batch.codes),
+        lengths=batch.lengths.astype(np.int32),
+        barcode_ids=ids,
+        barcode_keys=uniq.astype(np.uint32),
+        read_len=L,
+    )
+
+
+def save_fqb(path, fqb: Fqb) -> None:
+    meta = json.dumps({"version": _VERSION, "read_len": fqb.read_len,
+                       "n_reads": len(fqb), "n_barcodes": fqb.n_barcodes})
+    np.savez(path, packed=fqb.packed, lengths=fqb.lengths,
+             barcode_ids=fqb.barcode_ids, barcode_keys=fqb.barcode_keys,
+             meta=np.frombuffer(meta.encode(), np.uint8))
+
+
+def load_fqb(path) -> Fqb:
+    z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+    meta = json.loads(bytes(z["meta"]).decode())
+    if meta["version"] != _VERSION:
+        raise ValueError(f"fqb version {meta['version']} != {_VERSION}")
+    return Fqb(packed=z["packed"], lengths=z["lengths"],
+               barcode_ids=z["barcode_ids"], barcode_keys=z["barcode_keys"],
+               read_len=meta["read_len"])
+
+
+def fastq_to_fqb(fastq_path, out_path=None, barcoded: bool = True,
+                 max_len: int = 0) -> Fqb:
+    """FASTQ (R1 with leading 16bp GEM barcode if ``barcoded``) -> Fqb.
+
+    The FASTQ->FQB converter of SURVEY.md §3.1 #3.
+    """
+    batch = read_fastq(fastq_path, max_len=max_len)
+    if barcoded:
+        _, batch = extract_barcodes(batch)
+    fqb = from_read_batch(batch)
+    if out_path is not None:
+        save_fqb(out_path, fqb)
+    return fqb
