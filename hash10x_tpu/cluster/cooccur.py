@@ -1,0 +1,258 @@
+"""Batched per-barcode molecule clustering on the MXU.
+
+The TPU-native replacement for the reference's serial graph walk
+(``hash10x.c:~codeClusterFind``, SURVEY.md §3.1 #8, §4.2): the per-barcode tally of
+shared-barcode support becomes a batched 0/1 matmul, and serial union-find becomes a
+deterministic min-label propagation fixpoint whose canonical relabeling provably
+equals the oracle's union-find order (first-appearing k-mer numbers the cluster —
+``oracle/cluster_ref.py``).
+
+Pipeline per barcode batch (all static shapes, jit once per size class):
+
+1. gather each k-mer's barcode list          -> CL (B, K, C) int32, -1 padded
+2. local code universe by row sort + rank    -> ranks (B, K*C) in [0, U)
+3. 0/1 indicator via scatter                 -> D (B, K, U) bf16
+4. support S = D @ D^T                       -> (B, K, K) f32 on the MXU
+5. link iff S - 1 >= min_share               -> adjacency
+6. min-label propagation to fixpoint         -> component = min k-mer index
+7. dense-rank labels                         -> canonical cluster ids
+
+Barcodes are bucketed by k-mer-set size into power-of-two classes so each class
+compiles once (SURVEY.md §8.3: ragged structures -> padded size-class batches).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..table.incidence import Incidence
+
+__all__ = ["cluster_batch", "cluster_codes"]
+
+_INT_MAX = np.int32(2**31 - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("min_share",))
+def cluster_batch(cl: jnp.ndarray, kmer_valid: jnp.ndarray, min_share: int = 2
+                  ) -> jnp.ndarray:
+    """Cluster one padded batch.
+
+    cl: (B, K, C) int32 — sorted barcode ids per k-mer, -1 padding.
+    kmer_valid: (B, K) bool — which k-mer rows are real.
+    Returns canonical cluster labels (B, K) int32 (pad rows get -1).
+    """
+    B, K, C = cl.shape
+    U = K * C
+
+    # ---- local code universe: rank each entry among the row's distinct codes ----
+    flat = cl.reshape(B, U)
+    pad = flat < 0
+    flat_s = jnp.where(pad, _INT_MAX, flat)
+    srt = jnp.sort(flat_s, axis=1)
+    # rank = index of first occurrence in sorted order (distinct codes get distinct
+    # ranks; duplicates share one)
+    ranks = jax.vmap(jnp.searchsorted)(srt, flat_s)              # (B, U) in [0, U)
+
+    # ---- 0/1 indicator D[b, k, u] = k-mer k's list contains the u-th local code ---
+    d = jnp.zeros((B, K, U), jnp.bfloat16)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, K, C), 0)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (B, K, C), 1)
+    r_idx = ranks.reshape(B, K, C)
+    d = d.at[b_idx, k_idx, r_idx].max(jnp.where(pad.reshape(B, K, C), 0, 1)
+                                      .astype(jnp.bfloat16))
+
+    # ---- support matmul on the MXU (0/1 values: exact in bf16 x bf16 -> f32) ----
+    s = jnp.einsum("bku,blu->bkl", d, d, preferred_element_type=jnp.float32)
+
+    # ---- adjacency: both lists always contain this barcode, so other-shared =
+    #      support - 1 (oracle/cluster_ref.py contract) ----
+    both_valid = kmer_valid[:, :, None] & kmer_valid[:, None, :]
+    adj = (s - 1.0 >= min_share) & both_valid
+    eye = jnp.eye(K, dtype=bool)[None]
+    adj = adj | (eye & kmer_valid[:, :, None])
+
+    # ---- min-label propagation to fixpoint: label = min k-mer index reachable ----
+    init = jnp.where(kmer_valid, jax.lax.broadcasted_iota(jnp.int32, (B, K), 1), K)
+
+    def cond(state):
+        lab, changed = state
+        return changed
+
+    def body(state):
+        lab, _ = state
+        nbr_min = jnp.min(jnp.where(adj, lab[:, None, :], K), axis=2)
+        new = jnp.minimum(lab, nbr_min)
+        return (new, jnp.any(new != lab))
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+
+    # ---- canonical dense rank: component roots appear in ascending index order,
+    #      so rank(label among distinct labels) == first-appearance numbering ----
+    lab_s = jnp.sort(jnp.where(kmer_valid, labels, _INT_MAX), axis=1)
+    is_first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), lab_s[:, 1:] != lab_s[:, :-1]], axis=1)
+    is_first = is_first & (lab_s != _INT_MAX)
+    # canonical[i] = number of distinct labels strictly below labels[i]
+    below = (lab_s[:, None, :] < labels[:, :, None]) & is_first[:, None, :]
+    canon = jnp.sum(below, axis=2).astype(jnp.int32)
+    return jnp.where(kmer_valid, canon, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_codes",))
+def shares_batch(cl: jnp.ndarray, self_codes: jnp.ndarray, n_codes: int
+                 ) -> jnp.ndarray:
+    """One block of rows of the barcode x barcode co-occurrence matrix A·Aᵀ
+    (BASELINE.json; oracle: ``barcode_shares``).
+
+    cl: (B, K, C) int32 barcode lists of each barcode's k-mers (-1 pad).
+    Returns share (B, n_codes) int32 with the diagonal (self) zeroed.
+    """
+    B = cl.shape[0]
+    flat = cl.reshape(B, -1)
+    ok = flat >= 0
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 0)
+    acc = jnp.zeros((B, n_codes), jnp.int32)
+    acc = acc.at[b_idx, jnp.where(ok, flat, 0)].add(ok.astype(jnp.int32))
+    return acc.at[jnp.arange(B), self_codes].set(0)
+
+
+@jax.jit
+def friend_union_batch(cl: jnp.ndarray, kmer_valid: jnp.ndarray,
+                       friends: jnp.ndarray) -> jnp.ndarray:
+    """Cluster one padded batch by friend-barcode bipartite components.
+
+    cl: (B, K, C) int32 — *ascending* barcode lists per k-mer, -1 padding.
+    friends: (B, F) int32 friend barcode ids, -1 padding.
+    A k-mer and a friend connect iff the friend's id appears in the k-mer's list;
+    connected components over the bipartite graph = molecules (oracle:
+    ``cluster_barcode_friend``).  Returns canonical labels (B, K), pad rows -1.
+    """
+    B, K, C = cl.shape
+    F = friends.shape[1]
+    # membership via binary search (lists are sorted; pads pushed to +inf)
+    clp = jnp.where(cl < 0, _INT_MAX, cl)
+    fq = jnp.where(friends < 0, -2, friends)          # never matches
+    idx = jax.vmap(lambda rows, q: jax.vmap(lambda r: jnp.searchsorted(r, q))(rows)
+                   )(clp, fq)                          # (B, K, F)
+    hit = jnp.take_along_axis(clp, jnp.minimum(idx, C - 1), axis=2)
+    m = (hit == fq[:, None, :]) & kmer_valid[:, :, None]
+
+    init = jnp.where(kmer_valid, jax.lax.broadcasted_iota(jnp.int32, (B, K), 1), K)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        lab, _ = state
+        colmin = jnp.min(jnp.where(m, lab[:, :, None], K), axis=1)      # (B, F)
+        new = jnp.minimum(lab, jnp.min(jnp.where(m, colmin[:, None, :], K), axis=2))
+        return (new, jnp.any(new != lab))
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+
+    lab_s = jnp.sort(jnp.where(kmer_valid, labels, _INT_MAX), axis=1)
+    is_first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), lab_s[:, 1:] != lab_s[:, :-1]], axis=1)
+    is_first = is_first & (lab_s != _INT_MAX)
+    below = (lab_s[:, None, :] < labels[:, :, None]) & is_first[:, None, :]
+    canon = jnp.sum(below, axis=2).astype(jnp.int32)
+    return jnp.where(kmer_valid, canon, -1)
+
+
+def _size_class(n: int) -> int:
+    c = 8
+    while c < n:
+        c *= 2
+    return c
+
+
+def _extract_friends(share: np.ndarray, chunk, thr: int, max_friends: int
+                     ) -> np.ndarray:
+    """share (B, n_codes) -> padded friend ids (B, F), ordered by (-share, id),
+    capped at max_friends (the deterministic rule of ``cluster_barcode_friend``)."""
+    B = share.shape[0]
+    rows = []
+    fmax = 1
+    for b in range(B):
+        idx = np.nonzero(share[b] >= thr)[0]
+        if len(idx) > max_friends:
+            order = np.lexsort((idx, -share[b, idx]))
+            idx = idx[order[:max_friends]]
+        rows.append(np.sort(idx).astype(np.int32))
+        fmax = max(fmax, len(idx))
+    F = _size_class(fmax)
+    friends = np.full((B, F), -1, np.int32)
+    for b, r in enumerate(rows):
+        friends[b, :len(r)] = r
+    return friends
+
+
+def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
+                  min_friend_share: int = 8, max_friends: int = 256,
+                  max_batch_cells: int = 1 << 24) -> List[np.ndarray]:
+    """Cluster every barcode of an Incidence (the ``--codeClusters`` pass).
+
+    mode="pair": exact pairwise-support contract (O(K^2) per barcode — small sets).
+    mode="friend": scalable friend-barcode path (near-linear; the co-occurrence
+    matrix route of BASELINE.json).  Both bit-match their oracle counterparts.
+
+    Returns per-code int32 label arrays aligned with ``inc.kmers_of(code)`` order.
+    Barcodes are grouped into power-of-two (K, C) size classes; each class runs as
+    padded device batches sized to ~max_batch_cells cells.
+    """
+    sizes = np.diff(inc.code_offsets)
+    list_lens = np.diff(inc.kmer_offsets)
+    out: List[np.ndarray] = [None] * inc.n_codes  # type: ignore
+
+    order = np.argsort(sizes, kind="stable")
+    for code in order[sizes[order] == 0]:
+        out[code] = np.zeros(0, np.int32)
+    active = order[sizes[order] > 0]
+    if len(active) == 0:
+        return out
+
+    classes: dict = {}
+    for code in active:
+        kc = _size_class(int(sizes[code]))
+        classes.setdefault(kc, []).append(int(code))
+
+    for kc, codes_in_class in sorted(classes.items()):
+        cmax = 1
+        for code in codes_in_class:
+            ks = inc.kmers_of(code)
+            if len(ks):
+                cmax = max(cmax, int(list_lens[ks].max()))
+        cc = _size_class(cmax)
+        cost = kc * kc * cc if mode == "pair" else kc * cc * max(max_friends, 64)
+        bsz = max(1, max_batch_cells // max(cost, 1))
+        for i in range(0, len(codes_in_class), bsz):
+            chunk = codes_in_class[i:i + bsz]
+            B = len(chunk)
+            cl = np.full((B, kc, cc), -1, np.int32)
+            valid = np.zeros((B, kc), bool)
+            for bi, code in enumerate(chunk):
+                ks = inc.kmers_of(code)
+                valid[bi, :len(ks)] = True
+                for ki, kmer in enumerate(ks):
+                    lst = inc.codes_of(int(kmer))
+                    cl[bi, ki, :len(lst)] = lst
+            if mode == "pair":
+                labels = np.asarray(cluster_batch(cl, valid, min_share))
+            elif mode == "friend":
+                self_codes = np.array(chunk, np.int32)
+                share = np.asarray(shares_batch(cl, self_codes, inc.n_codes))
+                friends = _extract_friends(share, chunk, min_friend_share,
+                                           max_friends)
+                labels = np.asarray(friend_union_batch(cl, valid, friends))
+            else:
+                raise ValueError(f"unknown cluster mode {mode!r}")
+            for bi, code in enumerate(chunk):
+                n = int(sizes[code])
+                out[code] = labels[bi, :n].copy()
+    return out

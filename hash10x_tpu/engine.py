@@ -1,0 +1,258 @@
+"""Single-host pipeline engine: the stateful core behind the CLI.
+
+Mirrors the reference's command-driven global state (``hash10x.c:~main`` — commands
+execute sequentially against one shared table/code-table state, SURVEY.md §3.1 #1,
+§4.1/§4.2 call stacks), re-expressed as an object whose methods are the commands:
+
+    Engine.count(fqb)        ~ --readFQB       (count pass)
+    Engine.histogram()       ~ --hashDist
+    Engine.info()            ~ --hashInfo
+    Engine.filter(lo, hi)    ~ count-band "good k-mer" selection
+    Engine.incidence(fqb)    ~ code-table build (second pass over reads)
+    Engine.cluster(...)      ~ --codeClusters
+    Engine.split()           ~ --clusterSplit
+    Engine.report(out)       ~ --clusterReport
+    Engine.save/load(path)   ~ --writeHash/--readHash (checkpoint/resume, §6)
+
+Device work (sketching, count table, clustering) runs in fixed-shape jit batches;
+reads are grouped so one barcode never straddles a batch, which makes per-batch
+(hash, barcode) dedup exact — count semantics are *barcode counts* (``count_mode=
+"barcodes"``, the k-mer x barcode table of BASELINE.json) or raw occurrences
+(``count_mode="occurrences"``, config #1's pure count table).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .hashspec import HashSpec, U64MAX
+from .core import seqhash_jnp
+from .table import oa_table as oat
+from .table.incidence import Incidence, build_incidence, retained_lookup
+from .cluster import cooccur
+from .io.fqb import Fqb
+from .utils.timing import StageTimer
+
+__all__ = ["Engine", "EngineConfig"]
+
+
+@dataclass
+class EngineConfig:
+    spec: HashSpec = field(default_factory=HashSpec)
+    mode: str = "minimizer"          # kmer | minimizer | modimizer
+    modulus: int = 0                  # modimizer modulus (0 => w)
+    table_bits: int = 22
+    batch_reads: int = 4096
+    count_mode: str = "barcodes"     # barcodes | occurrences
+    min_count: int = 2
+    max_count: int = 64
+    cluster_mode: str = "friend"     # friend (scalable) | pair (O(K^2) contract)
+    min_share: int = 2               # pair mode: per-kmer-pair other-barcode support
+    min_friend_share: int = 8        # friend mode: barcode-share threshold
+    max_friends: int = 256
+
+
+class Engine:
+    def __init__(self, cfg: EngineConfig, log=sys.stderr):
+        self.cfg = cfg
+        self.table = oat.make_table(cfg.table_bits)
+        self.retained_hashes: Optional[np.ndarray] = None
+        self.retained_counts: Optional[np.ndarray] = None
+        self.inc: Optional[Incidence] = None
+        self.clusters: Optional[List[np.ndarray]] = None
+        self.split_inc: Optional[Incidence] = None
+        self.split_origin: Optional[np.ndarray] = None
+        self.n_reads_counted = 0
+        self.timer = StageTimer(log)
+
+    # -- batching ------------------------------------------------------------------
+
+    def _batches(self, fqb: Fqb):
+        """Yield (codes, lengths, barcode_ids) batches of fixed size, grouped so one
+        barcode never straddles a batch (padding rows have length 0, barcode -1)."""
+        bsz = self.cfg.batch_reads
+        order = np.argsort(fqb.barcode_ids, kind="stable")
+        codes_all = fqb.codes()[order]
+        lengths_all = fqb.lengths[order]
+        bc_all = fqb.barcode_ids[order]
+        n = len(bc_all)
+        # batch boundaries aligned to barcode boundaries
+        starts = [0]
+        i = 0
+        while i < n:
+            j = min(i + bsz, n)
+            if j < n:
+                # retreat to the start of the straddling barcode
+                jb = j
+                while jb > i and bc_all[jb - 1] == bc_all[j] and bc_all[j] != -1:
+                    jb -= 1
+                if jb > i:
+                    j = jb
+            i = j
+            starts.append(i)
+        L = codes_all.shape[1]
+        for a, b in zip(starts[:-1], starts[1:]):
+            m = b - a
+            codes = np.full((bsz, L), 0, np.uint8)
+            lengths = np.zeros(bsz, np.int32)
+            bcs = np.full(bsz, -1, np.int32)
+            codes[:m] = codes_all[a:b]
+            lengths[:m] = lengths_all[a:b]
+            bcs[:m] = bc_all[a:b]
+            yield codes, lengths, bcs
+
+    def _sketch_flat(self, codes, lengths, bcs):
+        """Sketch one batch -> flat (hashes u64 (M,), bc int32 (M,)) with U64MAX pads."""
+        h, _, emit = seqhash_jnp.sketch(self.cfg.spec, codes, lengths,
+                                        mode=self.cfg.mode, m=self.cfg.modulus)
+        P = h.shape[1]
+        flat_h = jnp.where(emit, h, jnp.uint64(U64MAX)).reshape(-1)
+        flat_bc = jnp.broadcast_to(jnp.asarray(bcs)[:, None], (len(bcs), P)).reshape(-1)
+        return flat_h, flat_bc
+
+    # -- commands ------------------------------------------------------------------
+
+    def count(self, fqb: Fqb) -> None:
+        """Count pass: stream reads through the sketch into the count table."""
+        for codes, lengths, bcs in self._batches(fqb):
+            flat_h, flat_bc = self._sketch_flat(codes, lengths, bcs)
+            if self.cfg.count_mode == "barcodes":
+                order = jnp.lexsort((flat_bc, flat_h))
+                hs = flat_h[order]
+                bs = flat_bc[order]
+                first = jnp.concatenate([jnp.ones((1,), bool),
+                                         (hs[1:] != hs[:-1]) | (bs[1:] != bs[:-1])])
+                first = first & (bs >= 0)
+                hs = jnp.where(first, hs, jnp.uint64(U64MAX))
+                self.table = oat.insert(self.table, hs, first.astype(jnp.uint32))
+            else:
+                w = (flat_h != U64MAX).astype(jnp.uint32)
+                self.table = oat.insert(self.table, flat_h, w)
+            self.n_reads_counted += int((lengths > 0).sum())
+        self.timer.stage(f"count: {self.n_reads_counted} reads, "
+                         f"{int(self.table.n_filled)} kmers, "
+                         f"overflow {int(self.table.overflow)}")
+
+    def histogram(self, max_count: int = 256) -> np.ndarray:
+        return np.asarray(oat.count_histogram(self.table, max_count))
+
+    def info(self, out=sys.stdout) -> None:
+        hist = self.histogram()
+        total = int(hist.sum())
+        out.write(f"table slots {self.table.n_slots} kmers {int(self.table.n_filled)} "
+                  f"overflow {int(self.table.overflow)}\n")
+        nz = np.nonzero(hist)[0]
+        if len(nz):
+            out.write(f"count range [{nz.min()}, {nz.max()}] distinct kmers {total}\n")
+
+    def write_histogram(self, out=sys.stdout, max_count: int = 256) -> None:
+        hist = self.histogram(max_count)
+        for c in np.nonzero(hist)[0]:
+            out.write(f"{c}\t{int(hist[c])}\n")
+
+    def filter(self, min_count: int = 0, max_count: int = 0) -> None:
+        """Keep "good" k-mers whose count lies in the band (SURVEY.md §3.1 #5)."""
+        lo = min_count or self.cfg.min_count
+        hi = max_count or self.cfg.max_count
+        self.retained_hashes, self.retained_counts = oat.compact(self.table, lo, hi)
+        self.timer.stage(f"filter [{lo},{hi}]: {len(self.retained_hashes)} kmers kept")
+
+    def incidence(self, fqb: Fqb) -> None:
+        """Second pass: build the deduplicated k-mer x barcode incidence."""
+        if self.retained_hashes is None:
+            self.filter()
+        ids_chunks, bc_chunks = [], []
+        for codes, lengths, bcs in self._batches(fqb):
+            flat_h, flat_bc = self._sketch_flat(codes, lengths, bcs)
+            ids, _ = retained_lookup(self.retained_hashes, np.asarray(flat_h))
+            ids_chunks.append(ids)
+            bc_chunks.append(np.asarray(flat_bc))
+        self.inc = build_incidence(
+            np.concatenate(ids_chunks), np.concatenate(bc_chunks),
+            n_kmers=len(self.retained_hashes), n_codes=fqb.n_barcodes)
+        self.timer.stage(f"incidence: {self.inc.n_pairs} pairs, "
+                         f"{self.inc.n_codes} codes x {self.inc.n_kmers} kmers")
+
+    def cluster(self, min_share: int = 0) -> None:
+        """Per-barcode molecule clustering (``--codeClusters``)."""
+        if self.inc is None:
+            raise RuntimeError("cluster requires incidence (run incidence first)")
+        cfg = self.cfg
+        self.clusters = cooccur.cluster_codes(
+            self.inc, min_share=min_share or cfg.min_share, mode=cfg.cluster_mode,
+            min_friend_share=cfg.min_friend_share, max_friends=cfg.max_friends)
+        n_cl = sum(int(c.max()) + 1 if len(c) else 0 for c in self.clusters)
+        self.timer.stage(f"cluster: {n_cl} molecules over {self.inc.n_codes} codes")
+
+    def split(self) -> None:
+        """Remap (code, cluster) -> new codes (``--clusterSplit``)."""
+        if self.clusters is None:
+            raise RuntimeError("split requires clusters")
+        inc = self.inc
+        new_codes, new_kmers, origin = [], [], []
+        next_code = 0
+        for c in range(inc.n_codes):
+            kh = inc.kmers_of(c)
+            cl = self.clusters[c]
+            n_cl = int(cl.max()) + 1 if len(cl) else 0
+            for lab in range(n_cl):
+                ks = kh[cl == lab]
+                new_kmers.append(ks)
+                new_codes.append(np.full(len(ks), next_code, np.int32))
+                origin.append((c, lab))
+                next_code += 1
+        if next_code == 0:
+            self.split_inc = Incidence(inc.n_kmers, 0, np.zeros(1, np.int64),
+                                       np.zeros(0, np.int32),
+                                       np.zeros(inc.n_kmers + 1, np.int64),
+                                       np.zeros(0, np.int32))
+        else:
+            self.split_inc = build_incidence(
+                np.concatenate(new_kmers).astype(np.int32),
+                np.concatenate(new_codes),
+                n_kmers=inc.n_kmers, n_codes=next_code)
+        self.split_origin = np.array(origin, np.int32).reshape(-1, 2)
+        self.timer.stage(f"split: {next_code} molecule codes")
+
+    def report(self, out=sys.stdout) -> None:
+        """Cluster report (``--clusterReport``): diffable text."""
+        if self.clusters is None:
+            raise RuntimeError("report requires clusters")
+        for c in range(self.inc.n_codes):
+            cl = self.clusters[c]
+            n_cl = int(cl.max()) + 1 if len(cl) else 0
+            sizes = np.bincount(cl, minlength=n_cl) if n_cl else np.zeros(0, int)
+            out.write(f"code {c} nKmers {len(cl)} nClusters {n_cl} "
+                      f"sizes {','.join(map(str, sizes.tolist()))}\n")
+
+    # -- checkpoint / resume (the .hash file analog, SURVEY.md §3.1 #11) -----------
+
+    def save(self, path) -> None:
+        meta = {"spec": json.loads(self.cfg.spec.to_json()), "mode": self.cfg.mode,
+                "count_mode": self.cfg.count_mode, "n_reads": self.n_reads_counted}
+        keys = np.asarray(self.table.keys)
+        counts = np.asarray(self.table.counts)
+        m = keys != U64MAX
+        np.savez(path, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+                 hashes=keys[m], counts=counts[m],
+                 retained=self.retained_hashes if self.retained_hashes is not None
+                 else np.zeros(0, np.uint64))
+
+    def load(self, path) -> None:
+        z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+        meta = json.loads(bytes(z["meta"]).decode())
+        spec = HashSpec(**meta["spec"])
+        if spec != self.cfg.spec:
+            raise ValueError(f"hash file spec {spec} != engine spec {self.cfg.spec} "
+                             "(tables are only comparable with identical k/w/seed)")
+        self.table = oat.insert(self.table, z["hashes"], z["counts"])
+        self.n_reads_counted = meta["n_reads"]
+        if len(z["retained"]):
+            self.retained_hashes = z["retained"]
+        self.timer.stage(f"load: {len(z['hashes'])} kmers")
