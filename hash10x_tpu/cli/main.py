@@ -1,0 +1,220 @@
+"""hash10x-compatible sequential command-language CLI.
+
+The reference's API surface is a CLI where each flag is a command executed
+immediately, in order, against shared state (``hash10x.c:~main`` + usage block,
+SURVEY.md §3.1 #1, §6 config row: "preserve this exact UX").  Flag names are
+reconstructed ([M/L] — re-check against the usage block when the reference mount is
+readable); parameters must precede the commands that use them, exactly as in the
+reference.
+
+Usage: python -m hash10x_tpu.cli [commands...]
+
+Parameters (take effect for later commands):
+  -k <int>             k-mer size (default 21)
+  -w <int>             minimizer window / modimizer modulus (default 11)
+  -r <int>             hash seed (default 17)
+  -B | --tableBits <b> count table has 2^b slots (default 22)
+  --minimizer | --modimizer | --allKmers     sketch mode (default minimizer)
+  --minCount <n> --maxCount <n>              count band for good k-mers
+  --minShare <n>       pair-mode support threshold
+  --friendShare <n>    friend-mode barcode share threshold
+  --clusterMode <pair|friend>
+  --countMode <barcodes|occurrences>
+  --batchReads <n>
+  -t <n>               thread count (accepted for compatibility; device batching
+                       replaces host threads)
+
+Commands (executed in order):
+  --readFastq <fq>     parse FASTQ (16bp GEM barcode prefix) and run the count pass
+  --readFQB <fqb>      load packed reads and run the count pass
+  --writeFQB <out>     write the last-read lane as packed fqb
+  --hashInfo           table summary to stdout
+  --hashDist           count histogram to stdout
+  --writeHash <out>    save table checkpoint
+  --readHash <in>      load table checkpoint
+  --cluster | --codeClusters   count-band filter + incidence + per-barcode clusters
+  --clusterSplit       remap (code, cluster) -> new molecule codes
+  --clusterReport      per-code cluster report to stdout
+  --cribBuild <fa> [<fa2>]     build truth labels from haplotype FASTA(s)
+  --cribReport         cluster purity vs crib to stdout
+  --simulate <spec>    generate a simulated lane (key=val,...; for tests/benches)
+  --help
+
+Every command is followed by a timing/RSS line on stderr (timeUpdate analog).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from ..hashspec import HashSpec
+from ..engine import Engine, EngineConfig
+from ..io import fqb as FB
+from ..io.fastq import read_fastq, extract_barcodes
+from ..io.sim import SimConfig, simulate
+
+__all__ = ["main"]
+
+
+class _State:
+    def __init__(self, err=None):
+        self.err = err
+        self.k = 21
+        self.w = 11
+        self.seed = 17
+        self.table_bits = 22
+        self.mode = "minimizer"
+        self.min_count = 2
+        self.max_count = 64
+        self.min_share = 2
+        self.min_friend_share = 8
+        self.cluster_mode = "friend"
+        self.count_mode = "barcodes"
+        self.batch_reads = 4096
+        self.engine: Optional[Engine] = None
+        self.fqb = None
+        self.crib = None
+
+    def get_engine(self) -> Engine:
+        if self.engine is None:
+            cfg = EngineConfig(
+                spec=HashSpec(k=self.k, w=self.w, seed=self.seed),
+                mode=self.mode, table_bits=self.table_bits,
+                batch_reads=self.batch_reads, count_mode=self.count_mode,
+                min_count=self.min_count, max_count=self.max_count,
+                cluster_mode=self.cluster_mode, min_share=self.min_share,
+                min_friend_share=self.min_friend_share)
+            self.engine = Engine(cfg, log=self.err)
+        return self.engine
+
+    def param_change_guard(self):
+        if self.engine is not None and int(self.engine.n_reads_counted) > 0:
+            raise SystemExit("hash parameters must be set before reading data "
+                             "(tables are only comparable with identical k/w/seed)")
+
+
+def _parse_sim(spec: str) -> SimConfig:
+    kwargs = {}
+    if spec:
+        for kv in spec.split(","):
+            key, val = kv.split("=")
+            kwargs[key] = float(val) if "." in val else int(val)
+    return SimConfig(**kwargs)
+
+
+def main(argv: List[str] = None, out=None, err=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    out = out or sys.stdout
+    err = err or sys.stderr
+    if not argv or "--help" in argv or "-h" in argv:
+        out.write(__doc__)
+        return 0
+
+    st = _State(err)
+    i = 0
+
+    def need(n: int, flag: str) -> List[str]:
+        nonlocal i
+        if i + n >= len(argv) + 0 and False:
+            pass
+        if i + n > len(argv) - 1:
+            raise SystemExit(f"{flag} requires {n} argument(s)")
+        args = argv[i + 1:i + 1 + n]
+        i += n
+        return args
+
+    while i < len(argv):
+        a = argv[i]
+        # ---- parameters ----
+        if a == "-k":
+            st.param_change_guard(); st.k = int(need(1, a)[0]); st.engine = None
+        elif a == "-w":
+            st.param_change_guard(); st.w = int(need(1, a)[0]); st.engine = None
+        elif a == "-r":
+            st.param_change_guard(); st.seed = int(need(1, a)[0]); st.engine = None
+        elif a in ("-B", "--tableBits"):
+            st.param_change_guard(); st.table_bits = int(need(1, a)[0]); st.engine = None
+        elif a == "--minimizer":
+            st.mode = "minimizer"
+        elif a == "--modimizer":
+            st.mode = "modimizer"
+        elif a == "--allKmers":
+            st.mode = "kmer"
+        elif a == "--minCount":
+            st.min_count = int(need(1, a)[0])
+        elif a == "--maxCount":
+            st.max_count = int(need(1, a)[0])
+        elif a == "--minShare":
+            st.min_share = int(need(1, a)[0])
+        elif a == "--friendShare":
+            st.min_friend_share = int(need(1, a)[0])
+        elif a == "--clusterMode":
+            st.cluster_mode = need(1, a)[0]
+        elif a == "--countMode":
+            st.count_mode = need(1, a)[0]
+        elif a == "--batchReads":
+            st.batch_reads = int(need(1, a)[0])
+        elif a == "-t":
+            need(1, a)  # accepted for compatibility; XLA owns parallelism
+        # ---- commands ----
+        elif a == "--readFastq":
+            path = need(1, a)[0]
+            batch = read_fastq(path)
+            _, batch = extract_barcodes(batch)
+            st.fqb = FB.from_read_batch(batch)
+            st.get_engine().count(st.fqb)
+        elif a == "--readFQB":
+            st.fqb = FB.load_fqb(need(1, a)[0])
+            st.get_engine().count(st.fqb)
+        elif a == "--writeFQB":
+            if st.fqb is None:
+                raise SystemExit("--writeFQB: no reads loaded")
+            FB.save_fqb(need(1, a)[0], st.fqb)
+        elif a == "--simulate":
+            sim = simulate(_parse_sim(need(1, a)[0]))
+            st.fqb = FB.from_read_batch(sim.reads)
+            st.get_engine().count(st.fqb)
+        elif a == "--hashInfo":
+            st.get_engine().info(out)
+        elif a == "--hashDist":
+            st.get_engine().write_histogram(out)
+        elif a == "--writeHash":
+            st.get_engine().save(need(1, a)[0])
+        elif a == "--readHash":
+            st.get_engine().load(need(1, a)[0])
+        elif a in ("--cluster", "--codeClusters"):
+            eng = st.get_engine()
+            if st.fqb is None:
+                raise SystemExit("--codeClusters: no reads loaded for incidence")
+            eng.filter(st.min_count, st.max_count)
+            eng.incidence(st.fqb)
+            eng.cluster()
+        elif a == "--clusterSplit":
+            st.get_engine().split()
+        elif a == "--clusterReport":
+            st.get_engine().report(out)
+        elif a == "--cribBuild":
+            from ..crib.crib import build_crib
+            paths = [need(1, a)[0]]
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                paths.append(need(1, a)[0])
+            eng = st.get_engine()
+            if eng.retained_hashes is None:
+                eng.filter(st.min_count, st.max_count)
+            st.crib = build_crib(eng.cfg.spec, eng.retained_hashes, paths)
+            eng.timer.stage(f"cribBuild: {len(paths)} haplotype(s)")
+        elif a == "--cribReport":
+            from ..crib.crib import crib_report
+            eng = st.get_engine()
+            if st.crib is None or eng.clusters is None:
+                raise SystemExit("--cribReport requires --cribBuild and --codeClusters")
+            crib_report(eng.inc, eng.clusters, st.crib, out)
+        else:
+            raise SystemExit(f"unknown argument {a!r} (see --help)")
+        i += 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,126 @@
+"""Crib (ground-truth) evaluation: label table k-mers from haplotype assemblies.
+
+Models the reference's crib mechanism (``hash10x.c:~cribBuild`` + crib report,
+SURVEY.md §3.1 #10, call stack §4.3): hash every genome k-mer of one/two haplotype
+FASTAs of the same sample, look each up in the retained table, and label table
+k-mers HOM (single-copy in both haplotypes) / HET1 / HET2 (single-copy in exactly
+one) / MUL (multi-copy) / ERR (absent from both — table-only, e.g. sequencing
+error), so cluster purity and haplotype phasing can be scored.
+
+Genome hashing reuses the device k-mer grid: sequences stream in fixed-size chunks
+with k-1 overlap (static shapes, one jit).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import numpy as np
+
+from ..hashspec import HashSpec, U64MAX
+from ..core import seqhash_jnp
+from ..core.encode import ascii_to_codes
+from ..io.fastq import fasta_records
+
+__all__ = ["Crib", "build_crib", "crib_report", "genome_kmer_counts",
+           "HOM", "HET1", "HET2", "MUL", "ERR", "LABEL_NAMES"]
+
+HOM, HET1, HET2, MUL, ERR = 0, 1, 2, 3, 4
+LABEL_NAMES = ("HOM", "HET1", "HET2", "MUL", "ERR")
+
+_CHUNK = 1 << 15
+
+
+@dataclass
+class Crib:
+    labels: np.ndarray        # (n_kmers,) uint8
+    hap_counts: np.ndarray    # (n_haps, n_kmers) uint32 genome multiplicity
+    n_haps: int
+
+    def composition(self) -> np.ndarray:
+        return np.bincount(self.labels, minlength=5)
+
+
+def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path
+                       ) -> np.ndarray:
+    """Multiplicity of each retained k-mer in one genome FASTA (canonical hashes,
+    every k-mer position — the reference hashes whole genomes, not sketches)."""
+    counts = np.zeros(len(retained_hashes), np.uint32)
+    k = spec.k
+    for _, seq in fasta_records(path):
+        codes = ascii_to_codes(seq)
+        n = len(codes)
+        if n < k:
+            continue
+        step = _CHUNK - (k - 1)
+        starts = list(range(0, max(n - k + 1, 1), step))
+        rows = np.full((len(starts), _CHUNK), 4, np.uint8)
+        lens = np.zeros(len(starts), np.int32)
+        for bi, s in enumerate(starts):
+            piece = codes[s:s + _CHUNK]
+            rows[bi, :len(piece)] = piece
+            lens[bi] = len(piece)
+        h, _, valid = seqhash_jnp.kmer_grid(spec, rows, lens)
+        flat = np.where(np.asarray(valid), np.asarray(h), U64MAX).reshape(-1)
+        flat = flat[flat != U64MAX]
+        idx = np.searchsorted(retained_hashes, flat)
+        idx_c = np.minimum(idx, len(retained_hashes) - 1)
+        hit = (idx < len(retained_hashes)) & (retained_hashes[idx_c] == flat)
+        np.add.at(counts, idx_c[hit], 1)
+    return counts
+
+
+def build_crib(spec: HashSpec, retained_hashes: np.ndarray,
+               paths: Sequence) -> Crib:
+    """Label retained k-mers against 1 or 2 haplotype FASTAs."""
+    if not 1 <= len(paths) <= 2:
+        raise ValueError("crib takes one or two haplotype FASTAs")
+    hap_counts = np.stack([genome_kmer_counts(spec, retained_hashes, p)
+                           for p in paths])
+    n = len(retained_hashes)
+    labels = np.full(n, ERR, np.uint8)
+    if len(paths) == 2:
+        c1, c2 = hap_counts
+        labels[(c1 == 1) & (c2 == 1)] = HOM
+        labels[(c1 == 1) & (c2 == 0)] = HET1
+        labels[(c1 == 0) & (c2 == 1)] = HET2
+        labels[(c1 > 1) | (c2 > 1)] = MUL
+    else:
+        c1 = hap_counts[0]
+        labels[c1 == 1] = HOM
+        labels[c1 > 1] = MUL
+    return Crib(labels=labels, hap_counts=hap_counts, n_haps=len(paths))
+
+
+def crib_report(inc, clusters, crib: Crib, out=sys.stdout) -> None:
+    """Per-cluster label composition + haplotype purity (the crib half of
+    ``--clusterReport``).  Purity = dominant-haplotype fraction among HET k-mers;
+    clusters with no HET k-mers report purity -."""
+    comp = crib.composition()
+    out.write("crib totals " +
+              " ".join(f"{LABEL_NAMES[l]} {int(comp[l])}" for l in range(5)) + "\n")
+    total_het = 0
+    total_dom = 0
+    for c in range(inc.n_codes):
+        kh = inc.kmers_of(c)
+        cl = clusters[c]
+        n_cl = int(cl.max()) + 1 if len(cl) else 0
+        for lab in range(n_cl):
+            ks = kh[cl == lab]
+            lc = np.bincount(crib.labels[ks], minlength=5)
+            h1, h2 = int(lc[HET1]), int(lc[HET2])
+            if h1 + h2 > 0:
+                purity = max(h1, h2) / (h1 + h2)
+                total_het += h1 + h2
+                total_dom += max(h1, h2)
+                pstr = f"{purity:.3f}"
+            else:
+                pstr = "-"
+            out.write(f"code {c} cluster {lab} n {len(ks)} "
+                      f"hom {int(lc[HOM])} het1 {h1} het2 {h2} "
+                      f"mul {int(lc[MUL])} err {int(lc[ERR])} purity {pstr}\n")
+    if total_het:
+        out.write(f"crib overall purity {total_dom / total_het:.4f} "
+                  f"over {total_het} het kmers\n")

@@ -1,0 +1,150 @@
+"""CLI command language end-to-end (SURVEY.md §3.1 #1: sequential commands) and
+crib evaluation (#10)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from hash10x_tpu.cli.main import main
+from hash10x_tpu.core.encode import codes_to_ascii
+from hash10x_tpu.crib.crib import build_crib, genome_kmer_counts, HOM, HET1, HET2, MUL, ERR
+from hash10x_tpu.hashspec import HashSpec
+from hash10x_tpu.io.sim import SimConfig, simulate
+from hash10x_tpu.oracle import seqhash_ref as O
+
+SIM = ("genome_len=200000,n_barcodes=150,molecules_per_barcode=2,"
+       "molecule_len=4000,reads_per_molecule=30,read_len=120,seed=3")
+
+
+def run(args):
+    out, err = io.StringIO(), io.StringIO()
+    rc = main(args, out=out, err=err)
+    return rc, out.getvalue(), err.getvalue()
+
+
+def test_help():
+    rc, out, _ = run(["--help"])
+    assert rc == 0 and "--readFQB" in out and "--codeClusters" in out
+
+
+def test_unknown_flag():
+    with pytest.raises(SystemExit):
+        run(["--nonsense"])
+
+
+def test_missing_arg():
+    with pytest.raises(SystemExit):
+        run(["-k"])
+
+
+def test_sequential_pipeline(tmp_path):
+    hashfile = str(tmp_path / "lane.hash")
+    fqbfile = str(tmp_path / "lane.fqb")
+    rc, out, err = run(["-k", "17", "-w", "7", "-r", "11", "-B", "20",
+                        "--simulate", SIM, "--hashInfo", "--hashDist",
+                        "--writeHash", hashfile, "--writeFQB", fqbfile,
+                        "--friendShare", "20",
+                        "--codeClusters", "--clusterSplit", "--clusterReport"])
+    assert rc == 0
+    assert "table slots" in out
+    assert "code 0 nKmers" in out
+    assert "[count:" in err and "[cluster:" in err  # timeUpdate lines
+    # resume from the checkpoint: histogram must be identical
+    rc2, out2, _ = run(["-k", "17", "-w", "7", "-r", "11", "-B", "20",
+                        "--readHash", hashfile, "--hashDist"])
+    assert rc2 == 0
+    h1 = [l for l in out.splitlines() if "\t" in l]
+    h2 = [l for l in out2.splitlines() if "\t" in l]
+    assert h1 == h2
+    # and the fqb can be re-read for a full re-run
+    rc3, out3, _ = run(["-k", "17", "-w", "7", "-r", "11", "-B", "20",
+                        "--readFQB", fqbfile + ".npz", "--friendShare", "20",
+                        "--codeClusters", "--clusterReport"])
+    rep1 = [l for l in out.splitlines() if l.startswith("code ")]
+    rep3 = [l for l in out3.splitlines() if l.startswith("code ")]
+    assert rep1 == rep3
+
+
+def test_param_after_data_rejected(tmp_path):
+    with pytest.raises(SystemExit):
+        run(["--simulate", "genome_len=5000,n_barcodes=2,molecules_per_barcode=1,"
+             "molecule_len=1000,reads_per_molecule=3,read_len=100", "-k", "19"])
+
+
+def write_fasta(path, seqs):
+    with open(path, "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b">hap%d\n" % i + s + b"\n")
+
+
+def test_genome_kmer_counts_matches_oracle(tmp_path, rng):
+    spec = HashSpec(k=15, w=1, seed=17)
+    g = rng.integers(0, 4, 3000).astype(np.uint8)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [codes_to_ascii(g)])
+    # retained set = all genome kmers (canonical, deduped)
+    from collections import Counter
+    cnt = Counter(h for _, h, _ in O.kmer_hashes(spec, list(g)))
+    retained = np.array(sorted(cnt), np.uint64)
+    got = genome_kmer_counts(spec, retained, fa)
+    expect = np.array([cnt[h] for h in sorted(cnt)], np.uint32)
+    assert (got == expect).all()
+
+
+def test_crib_labels(tmp_path, rng):
+    spec = HashSpec(k=15, w=1, seed=17)
+    hap1 = rng.integers(0, 4, 4000).astype(np.uint8)
+    hap2 = hap1.copy()
+    hap2[2000] = (hap2[2000] + 1) % 4    # one het site
+    fa1, fa2 = tmp_path / "h1.fa", tmp_path / "h2.fa"
+    write_fasta(fa1, [codes_to_ascii(hap1)])
+    write_fasta(fa2, [codes_to_ascii(hap2)])
+    from collections import Counter
+    c1 = Counter(h for _, h, _ in O.kmer_hashes(spec, list(hap1)))
+    c2 = Counter(h for _, h, _ in O.kmer_hashes(spec, list(hap2)))
+    all_h = sorted(set(c1) | set(c2) | {12345})   # 12345 = an absent "error" hash
+    retained = np.array(all_h, np.uint64)
+    crib = build_crib(spec, retained, [fa1, fa2])
+    for i, h in enumerate(all_h):
+        a, b = c1.get(h, 0), c2.get(h, 0)
+        if a == 1 and b == 1:
+            assert crib.labels[i] == HOM
+        elif a == 1 and b == 0:
+            assert crib.labels[i] == HET1
+        elif a == 0 and b == 1:
+            assert crib.labels[i] == HET2
+        elif a > 1 or b > 1:
+            assert crib.labels[i] == MUL
+        else:
+            assert crib.labels[i] == ERR
+    # het sites from the single SNP: k kmers on each hap become HET
+    assert (crib.labels == HET1).sum() == spec.k
+    assert (crib.labels == HET2).sum() == spec.k
+
+
+def test_cli_crib_pipeline(tmp_path, rng):
+    """Full het-sim: simulate diploid reads, crib against both haplotypes."""
+    # bridge-sparse regime (cov ~4, 150 barcodes) so most barcodes split their
+    # two molecules cleanly and het purity is meaningful
+    sim = simulate(SimConfig(genome_len=300_000, n_barcodes=150,
+                             molecules_per_barcode=2, molecule_len=4000,
+                             reads_per_molecule=40, read_len=120,
+                             het_rate=0.005, seed=4))
+    fa1, fa2 = tmp_path / "h1.fa", tmp_path / "h2.fa"
+    write_fasta(fa1, [codes_to_ascii(sim.genome)])
+    write_fasta(fa2, [codes_to_ascii(sim.genome_hap1)])
+    import hash10x_tpu.io.fqb as FB
+    fqb_path = str(tmp_path / "lane.fqb")
+    FB.save_fqb(fqb_path, FB.from_read_batch(sim.reads))
+    rc, out, err = run(["-k", "17", "-w", "7", "-B", "20",
+                        "--readFQB", fqb_path + ".npz",
+                        "--friendShare", "20",
+                        "--codeClusters",
+                        "--cribBuild", str(fa1), str(fa2),
+                        "--cribReport"])
+    assert rc == 0
+    assert "crib totals" in out
+    assert "crib overall purity" in out
+    purity = float(out.rsplit("purity ", 1)[1].split()[0])
+    assert purity > 0.85, f"phasing purity {purity}"
