@@ -95,17 +95,21 @@ def pre_aggregate(hashes: jnp.ndarray, weights: jnp.ndarray
     return uniq_h, uniq_w
 
 
-@functools.partial(jax.jit, static_argnames=("max_probes",), donate_argnums=0)
+@functools.partial(jax.jit, static_argnames=("max_probes", "slot_shift"),
+                   donate_argnums=0)
 def insert(table: KmerTable, hashes: jnp.ndarray, weights: jnp.ndarray,
-           max_probes: int = 128) -> KmerTable:
+           max_probes: int = 128, slot_shift: int = 0) -> KmerTable:
     """Scatter a batch of (hash, weight) into the table.
 
     ``hashes (N,) uint64`` (U64MAX entries ignored), ``weights (N,)`` any int dtype.
     Deterministic regardless of batch ordering (see module docstring).
+    ``slot_shift``: in a table sharded by the hash's low bits (dist/), those bits
+    are constant within a shard — shift them off before slotting so occupancy
+    stays uniform.
     """
     h, w = pre_aggregate(hashes, weights)
     mask = jnp.uint64(table.n_slots - 1)
-    slot0 = (h & mask).astype(jnp.int64)
+    slot0 = ((h >> jnp.uint64(slot_shift)) & mask).astype(jnp.int64)
     n = jnp.int64(table.n_slots)
 
     def cond(state):
@@ -131,15 +135,15 @@ def insert(table: KmerTable, hashes: jnp.ndarray, weights: jnp.ndarray,
     return KmerTable(keys, counts, overflow)
 
 
-@functools.partial(jax.jit, static_argnames=("max_probes",))
-def lookup(table: KmerTable, hashes: jnp.ndarray, max_probes: int = 128
-           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@functools.partial(jax.jit, static_argnames=("max_probes", "slot_shift"))
+def lookup(table: KmerTable, hashes: jnp.ndarray, max_probes: int = 128,
+           slot_shift: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Find each hash: returns (slot (N,) int32, found (N,) bool).
 
     Missing keys (probe hit an empty slot, or exhausted) get slot = -1.
     """
     mask = jnp.uint64(table.n_slots - 1)
-    slot0 = (hashes & mask).astype(jnp.int64)
+    slot0 = ((hashes >> jnp.uint64(slot_shift)) & mask).astype(jnp.int64)
     n = jnp.int64(table.n_slots)
     valid = hashes != _U64MAX
 

@@ -1,0 +1,119 @@
+"""Sharded pipeline on the 8-device virtual CPU mesh: sharded output must equal
+single-device output exactly (SURVEY.md §5 item 4)."""
+
+import numpy as np
+import pytest
+import jax
+
+from hash10x_tpu.hashspec import HashSpec, U64MAX
+from hash10x_tpu.dist import sharded as D
+from hash10x_tpu.table import oa_table as T
+from hash10x_tpu.core import seqhash_jnp as J
+from hash10x_tpu.io.sim import SimConfig, simulate
+from hash10x_tpu.io import fqb as FB
+
+from conftest import random_codes
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def sim_lane(seed=0, n_reads_pad=2048):
+    sim = simulate(SimConfig(genome_len=80_000, n_barcodes=16,
+                             molecules_per_barcode=2, molecule_len=5000,
+                             reads_per_molecule=40, read_len=120, seed=seed))
+    fqb = FB.from_read_batch(sim.reads)
+    codes = fqb.codes()
+    n = len(codes)
+    assert n <= n_reads_pad
+    c = np.zeros((n_reads_pad, codes.shape[1]), np.uint8)
+    l = np.zeros(n_reads_pad, np.int32)
+    b = np.full(n_reads_pad, -1, np.int32)
+    c[:n], l[:n], b[:n] = codes, fqb.lengths, fqb.barcode_ids
+    return c, l, b
+
+
+def single_device_counts(spec, codes, lengths, bcs, mode="minimizer"):
+    h, _, emit = J.sketch(spec, codes, lengths, mode=mode)
+    flat = np.where(np.asarray(emit), np.asarray(h), U64MAX).reshape(-1)
+    t = T.insert(T.make_table(16), flat, np.ones(flat.shape, np.uint32))
+    keys = np.asarray(t.keys)
+    counts = np.asarray(t.counts)
+    m = keys != U64MAX
+    return dict(zip(keys[m].tolist(), counts[m].tolist()))
+
+
+@pytest.mark.parametrize("n_mesh", [1, 2, 8])
+def test_sharded_count_equals_single_device(n_mesh):
+    spec = HashSpec(k=21, w=7, seed=17)
+    codes, lengths, bcs = sim_lane()
+    mesh = D.make_mesh(n_mesh)
+    st = D.ShardedTable(mesh, bits_per_shard=17)
+    step = D.make_count_step(spec, mesh)
+    st = step(st, codes, lengths, bcs)
+    assert int(np.asarray(st.route_drops).sum()) == 0
+    assert int(np.asarray(st.overflow).sum()) == 0
+    gh, gc = D.gather_compact(st)
+    expect = single_device_counts(spec, codes, lengths, bcs)
+    got = dict(zip(gh.tolist(), gc.tolist()))
+    assert got == expect
+
+
+def test_shard_ownership():
+    """Every resident key lives on the shard selected by its low bits."""
+    spec = HashSpec(k=21, w=7, seed=17)
+    codes, lengths, bcs = sim_lane(seed=1)
+    mesh = D.make_mesh(8)
+    st = D.ShardedTable(mesh, bits_per_shard=17)
+    step = D.make_count_step(spec, mesh)
+    st = step(st, codes, lengths, bcs)
+    keys = np.asarray(st.keys)
+    for s in range(8):
+        k = keys[s]
+        k = k[k != U64MAX]
+        assert (k & 7 == s).all()
+
+
+def test_merged_histogram_equals_gather():
+    spec = HashSpec(k=21, w=7, seed=17)
+    codes, lengths, bcs = sim_lane(seed=2)
+    mesh = D.make_mesh(8)
+    st = D.ShardedTable(mesh, bits_per_shard=17)
+    step = D.make_count_step(spec, mesh)
+    st = step(st, codes, lengths, bcs)
+    hist = D.merged_histogram(st, 64)
+    _, gc = D.gather_compact(st)
+    expect = np.bincount(np.clip(gc, 0, 64), minlength=65)
+    expect[0] = 0
+    assert (hist == expect).all()
+
+
+def test_multi_step_accumulation():
+    """Two batches through the sharded step == one concatenated single pass."""
+    spec = HashSpec(k=17, w=5, seed=17)
+    codes, lengths, bcs = sim_lane(seed=3)
+    half = len(codes) // 2
+    mesh = D.make_mesh(8)
+    st = D.ShardedTable(mesh, bits_per_shard=17)
+    step = D.make_count_step(spec, mesh)
+    st = step(st, codes[:half], lengths[:half], bcs[:half])
+    st = step(st, codes[half:], lengths[half:], bcs[half:])
+    gh, gc = D.gather_compact(st)
+    expect = single_device_counts(spec, codes, lengths, bcs)
+    assert dict(zip(gh.tolist(), gc.tolist())) == expect
+
+
+def test_lane_overflow_is_counted():
+    """Tiny lane capacity forces routing drops; they must be counted, not silent."""
+    spec = HashSpec(k=21, w=7, seed=17)
+    codes, lengths, bcs = sim_lane(seed=4)
+    mesh = D.make_mesh(8)
+    st = D.ShardedTable(mesh, bits_per_shard=17)
+    step = D.make_count_step(spec, mesh, lane_capacity=8)
+    st = step(st, codes, lengths, bcs)
+    drops = int(np.asarray(st.route_drops).sum())
+    assert drops > 0
+    gh, gc = D.gather_compact(st)
+    expect = single_device_counts(spec, codes, lengths, bcs)
+    # delivered mass + dropped mass == total mass
+    assert int(gc.sum()) + drops == sum(expect.values())
