@@ -1,0 +1,121 @@
+"""Benchmark harness: count-pass reads/s on the real chip vs the C baseline.
+
+Prints ONE JSON line:
+  {"metric": "count_pass_reads_per_s", "value": N, "unit": "reads/s",
+   "vs_baseline": N}
+
+vs_baseline is measured against ``native/c_ref/hash10x_ref.c`` — a single-thread
+C implementation of the same hashing contract compiled with gcc -O3 — standing in
+for the unavailable reference binary's x1.0 row (BASELINE.md "reference-side
+numbers still to capture").  The BASELINE.json north star is >=10x on a v5e-16;
+this harness measures one chip (the driver records per-round results).
+
+Config: BASELINE.json config #1 semantics — minimizer occurrence counts, single
+barcode stream, k=21.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/h10x_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np
+
+N_READS = 1 << 16
+READ_LEN = 150
+BATCH = 1 << 13
+K, W, SEED = 21, 11, 17
+TABLE_BITS = 20        # ~330k distinct kmers in this lane; auto-grow covers bigger
+C_SUBSET = 1 << 14   # the C baseline runs a subset (it is ~100x slower)
+
+
+def make_lane():
+    rng = np.random.default_rng(7)
+    # genome-derived reads (repeats matter for table contention realism)
+    genome = rng.integers(0, 4, size=2_000_000).astype(np.uint8)
+    starts = rng.integers(0, len(genome) - READ_LEN, size=N_READS)
+    reads = np.stack([genome[s:s + READ_LEN] for s in starts])
+    return reads
+
+
+def bench_tpu(reads):
+    import jax
+    import jax.numpy as jnp
+    import hash10x_tpu
+    from hash10x_tpu.hashspec import HashSpec, U64MAX
+    from hash10x_tpu.core import seqhash_jnp
+    from hash10x_tpu.table import sorted_table as ST
+    from hash10x_tpu.utils.sync import device_sync
+
+    spec = HashSpec(k=K, w=W, seed=SEED)
+    lengths = np.full(BATCH, READ_LEN, np.int32)
+
+    @jax.jit
+    def sketch_flat(codes):
+        h, _, emit = seqhash_jnp.sketch(spec, codes, lengths, mode="minimizer")
+        return jnp.where(emit, h, jnp.uint64(U64MAX)).reshape(-1)
+
+    t = ST.make_sorted_table(1 << TABLE_BITS, 1 << 22)
+    batches = [jnp.asarray(reads[i:i + BATCH]) for i in range(0, N_READS, BATCH)]
+
+    def run(t):
+        for b in batches:
+            t = ST.append(t, sketch_flat(b))
+        return ST.flush(t)
+
+    # warmup (compile every shape incl. flush), then steady-state timing with a
+    # real host-readback sync (block_until_ready is enqueue-only via the relay)
+    t = run(t)
+    device_sync(t.hashes)
+    t0 = time.monotonic()
+    t = run(t)
+    device_sync(t.hashes)
+    dt = time.monotonic() - t0
+    n_kmers = int(np.asarray(t.n_filled))
+    return N_READS / dt, n_kmers, dt
+
+
+def bench_c(reads):
+    """Compile and run the C reference on a subset; returns reads/s (or 0)."""
+    try:
+        exe = "/tmp/h10x_c_ref"
+        src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "native", "c_ref", "hash10x_ref.c")
+        if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+            subprocess.run(["gcc", "-O3", "-march=native", "-o", exe, src],
+                           check=True, capture_output=True)
+        sub = reads[:C_SUBSET]
+        binpath = "/tmp/h10x_bench_reads.bin"
+        with open(binpath, "wb") as f:
+            np.array([len(sub), READ_LEN], np.uint32).tofile(f)
+            sub.astype(np.uint8).tofile(f)
+        out = subprocess.run(
+            [exe, binpath, str(K), str(W), str(SEED), "22"],
+            check=True, capture_output=True, text=True, timeout=600).stdout
+        toks = out.split()
+        n, secs = int(toks[1]), float(toks[7])
+        return n / secs
+    except Exception as e:
+        print(f"bench: C baseline unavailable ({e})", file=sys.stderr)
+        return 0.0
+
+
+def main():
+    reads = make_lane()
+    c_rps = bench_c(reads)
+    tpu_rps, n_kmers, dt = bench_tpu(reads)
+    print(f"bench: tpu {tpu_rps:,.0f} reads/s ({N_READS} reads, {n_kmers} kmers, "
+          f"{dt:.2f}s steady-state); C ref {c_rps:,.0f} reads/s", file=sys.stderr)
+    vs = tpu_rps / c_rps if c_rps else 0.0
+    print(json.dumps({"metric": "count_pass_reads_per_s",
+                      "value": round(tpu_rps, 1), "unit": "reads/s",
+                      "vs_baseline": round(vs, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,9 +11,18 @@ exact uint64 arithmetic (XLA emulates u64 as u32 pairs on TPU; the Pallas hot
 kernels use an explicit (hi, lo) u32 representation instead).
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: CLI invocations are many short processes; without
+# this every one re-compiles the pipeline (minutes through a remote-compile TPU
+# tunnel). Override via JAX_COMPILATION_CACHE_DIR.
+_jax.config.update("jax_compilation_cache_dir",
+                   _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   _os.path.expanduser("~/.cache/hash10x_tpu_xla")))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from .hashspec import HashSpec, U64MAX  # noqa: E402
 

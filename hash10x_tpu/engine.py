@@ -33,7 +33,7 @@ import numpy as np
 
 from .hashspec import HashSpec, U64MAX
 from .core import seqhash_jnp
-from .table import oa_table as oat
+from .table import sorted_table as st
 from .table.incidence import Incidence, build_incidence, retained_lookup
 from .cluster import cooccur
 from .io.fqb import Fqb
@@ -47,7 +47,7 @@ class EngineConfig:
     spec: HashSpec = field(default_factory=HashSpec)
     mode: str = "minimizer"          # kmer | minimizer | modimizer
     modulus: int = 0                  # modimizer modulus (0 => w)
-    table_bits: int = 22
+    table_bits: int = 22          # initial capacity 2^bits entries (auto-grows)
     batch_reads: int = 4096
     count_mode: str = "barcodes"     # barcodes | occurrences
     min_count: int = 2
@@ -61,7 +61,7 @@ class EngineConfig:
 class Engine:
     def __init__(self, cfg: EngineConfig, log=sys.stderr):
         self.cfg = cfg
-        self.table = oat.make_table(cfg.table_bits)
+        self.table: Optional[st.SortedTable] = None
         self.retained_hashes: Optional[np.ndarray] = None
         self.retained_counts: Optional[np.ndarray] = None
         self.inc: Optional[Incidence] = None
@@ -116,12 +116,43 @@ class Engine:
         flat_bc = jnp.broadcast_to(jnp.asarray(bcs)[:, None], (len(bcs), P)).reshape(-1)
         return flat_h, flat_bc
 
+    # -- table plumbing (sorted-run table with host-scheduled flush/growth) --------
+
+    def _ensure_table(self, emission_width: int) -> None:
+        if self.table is None:
+            cap = 1 << self.cfg.table_bits
+            buf_cap = max(cap, 1 << (emission_width - 1).bit_length())
+            self.table = st.make_sorted_table(cap, buf_cap)
+
+    def _append(self, flat_h: jnp.ndarray) -> None:
+        t = self.table
+        n = flat_h.shape[0]
+        if t.buf_n + n > t.buf.shape[0]:
+            t = st.flush(t)
+            if int(np.asarray(t.spilled)):
+                raise RuntimeError(
+                    f"count table spilled {int(np.asarray(t.spilled))} kmers; "
+                    "raise --tableBits")
+            if int(np.asarray(t.n_filled)) > 0.75 * t.capacity:
+                t = st.grow(t, t.capacity * 2)
+                if self.timer.log is not None:
+                    self.timer.log.write(
+                        f"[table grown to {t.capacity} entries]\n")
+        self.table = st.append(t, flat_h)
+
+    def _flushed(self) -> st.SortedTable:
+        if self.table is None:
+            self._ensure_table(1)
+        self.table = st.flush(self.table)
+        return self.table
+
     # -- commands ------------------------------------------------------------------
 
     def count(self, fqb: Fqb) -> None:
         """Count pass: stream reads through the sketch into the count table."""
         for codes, lengths, bcs in self._batches(fqb):
             flat_h, flat_bc = self._sketch_flat(codes, lengths, bcs)
+            self._ensure_table(flat_h.shape[0])
             if self.cfg.count_mode == "barcodes":
                 order = jnp.lexsort((flat_bc, flat_h))
                 hs = flat_h[order]
@@ -130,23 +161,25 @@ class Engine:
                                          (hs[1:] != hs[:-1]) | (bs[1:] != bs[:-1])])
                 first = first & (bs >= 0)
                 hs = jnp.where(first, hs, jnp.uint64(U64MAX))
-                self.table = oat.insert(self.table, hs, first.astype(jnp.uint32))
+                self._append(hs)
             else:
-                w = (flat_h != U64MAX).astype(jnp.uint32)
-                self.table = oat.insert(self.table, flat_h, w)
+                self._append(flat_h)
             self.n_reads_counted += int((lengths > 0).sum())
+        t = self._flushed()
         self.timer.stage(f"count: {self.n_reads_counted} reads, "
-                         f"{int(self.table.n_filled)} kmers, "
-                         f"overflow {int(self.table.overflow)}")
+                         f"{int(np.asarray(t.n_filled))} kmers, "
+                         f"spilled {int(np.asarray(t.spilled))}")
 
     def histogram(self, max_count: int = 256) -> np.ndarray:
-        return np.asarray(oat.count_histogram(self.table, max_count))
+        t = self._flushed()
+        return np.asarray(st.count_histogram(t.hashes, t.counts, max_count))
 
     def info(self, out=sys.stdout) -> None:
         hist = self.histogram()
+        t = self.table
         total = int(hist.sum())
-        out.write(f"table slots {self.table.n_slots} kmers {int(self.table.n_filled)} "
-                  f"overflow {int(self.table.overflow)}\n")
+        out.write(f"table slots {t.capacity} kmers {int(np.asarray(t.n_filled))} "
+                  f"overflow {int(np.asarray(t.spilled))}\n")
         nz = np.nonzero(hist)[0]
         if len(nz):
             out.write(f"count range [{nz.min()}, {nz.max()}] distinct kmers {total}\n")
@@ -160,7 +193,7 @@ class Engine:
         """Keep "good" k-mers whose count lies in the band (SURVEY.md §3.1 #5)."""
         lo = min_count or self.cfg.min_count
         hi = max_count or self.cfg.max_count
-        self.retained_hashes, self.retained_counts = oat.compact(self.table, lo, hi)
+        self.retained_hashes, self.retained_counts = st.compact(self._flushed(), lo, hi)
         self.timer.stage(f"filter [{lo},{hi}]: {len(self.retained_hashes)} kmers kept")
 
     def incidence(self, fqb: Fqb) -> None:
@@ -236,11 +269,9 @@ class Engine:
     def save(self, path) -> None:
         meta = {"spec": json.loads(self.cfg.spec.to_json()), "mode": self.cfg.mode,
                 "count_mode": self.cfg.count_mode, "n_reads": self.n_reads_counted}
-        keys = np.asarray(self.table.keys)
-        counts = np.asarray(self.table.counts)
-        m = keys != U64MAX
+        h, c = st.compact(self._flushed())
         np.savez(path, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
-                 hashes=keys[m], counts=counts[m],
+                 hashes=h, counts=c,
                  retained=self.retained_hashes if self.retained_hashes is not None
                  else np.zeros(0, np.uint64))
 
@@ -251,7 +282,14 @@ class Engine:
         if spec != self.cfg.spec:
             raise ValueError(f"hash file spec {spec} != engine spec {self.cfg.spec} "
                              "(tables are only comparable with identical k/w/seed)")
-        self.table = oat.insert(self.table, z["hashes"], z["counts"])
+        n_in = len(z["hashes"])
+        cap = max(1 << self.cfg.table_bits, 1 << max(n_in - 1, 1).bit_length())
+        self._ensure_table(1)
+        if self.table.capacity < cap:
+            self.table = st.grow(self.table, cap)
+        self.table = st.merge_counts(self._flushed(), z["hashes"], z["counts"])
+        if int(np.asarray(self.table.spilled)):
+            raise RuntimeError("table spilled on load; raise --tableBits")
         self.n_reads_counted = meta["n_reads"]
         if len(z["retained"]):
             self.retained_hashes = z["retained"]

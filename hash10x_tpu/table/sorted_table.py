@@ -1,0 +1,189 @@
+"""Sorted-run (LSM-style) k-mer count table — the TPU-fast count-pass path.
+
+Why this exists (measured, not guessed): the open-addressing probe loop
+(``oa_table.py``) is exact but anti-TPU — XLA lowers every probe round's scatters
+into tuple-scatters over the whole table plus a batch-wide *sort* (sort-based
+scatter emulation), costing ~0.7s per 1M-emission batch on a v5e chip.  TPUs sort
+at GB/s; so this table embraces sorting, the way KMC2/Gerbil bucket-and-sort
+counters do on CPU/GPU (PAPERS.md):
+
+* state: ``hashes (C,) u64`` ascending with U64MAX padding, ``counts (C,) u32``,
+  plus an append buffer ``buf (Bc,) u64`` of raw emissions (weight 1 each;
+  duplicates encode multiplicity).
+* ``append``: one ``dynamic_update_slice`` per batch — O(batch).
+* ``flush`` (when the buffer would overflow): two-operand sort of
+  (table ++ buffer) carrying weights, segment-sum of equal keys onto their first
+  slot, then a second stable sort that compacts survivors to the front (U64MAX
+  pads sink to the end).  Fully deterministic and batch-order invariant.
+* ``lookup``/canonical ids: the table IS the sorted retained array — binary
+  search (``searchsorted``), ~log2(C) vectorized gathers per batch.
+
+Capacity overflow is detected exactly (any real key past C after a flush) and
+reported via ``spilled``; callers grow C and re-run — never silent (SURVEY.md
+§8.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hashspec import U64MAX
+
+__all__ = ["SortedTable", "make_sorted_table", "append", "flush",
+           "count_histogram", "compact", "lookup_ids"]
+
+_U64MAX = jnp.uint64(U64MAX)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SortedTable:
+    hashes: jnp.ndarray    # (C,) uint64 ascending, U64MAX padded
+    counts: jnp.ndarray    # (C,) uint32
+    buf: jnp.ndarray       # (Bc,) uint64 raw emissions, U64MAX padded
+    buf_n: int             # host-tracked fill (static per flush schedule)
+    spilled: jnp.ndarray   # () uint32 — keys lost to capacity overflow
+
+    def tree_flatten(self):
+        return (self.hashes, self.counts, self.buf, self.spilled), self.buf_n
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        h, c, b, s = children
+        return cls(h, c, b, aux, s)
+
+    @property
+    def capacity(self) -> int:
+        return self.hashes.shape[0]
+
+    @property
+    def n_filled(self) -> jnp.ndarray:
+        return jnp.sum(self.hashes != _U64MAX)
+
+
+def make_sorted_table(capacity: int, buf_capacity: int) -> SortedTable:
+    return SortedTable(
+        hashes=jnp.full((capacity,), _U64MAX, jnp.uint64),
+        counts=jnp.zeros((capacity,), jnp.uint32),
+        buf=jnp.full((buf_capacity,), _U64MAX, jnp.uint64),
+        buf_n=0,
+        spilled=jnp.zeros((), jnp.uint32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=0, static_argnames=("offset",))
+def _buf_write(buf: jnp.ndarray, emissions: jnp.ndarray, offset: int) -> jnp.ndarray:
+    return jax.lax.dynamic_update_slice(buf, emissions, (offset,))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _merge_impl(hashes, counts, other_h, other_w):
+    """Merge (hashes, counts) with (other_h, other_w): sort, segment-sum equal
+    keys, compact.  Returns (merged_h[:C], merged_w[:C], spilled) with C =
+    hashes' capacity."""
+    C = hashes.shape[0]
+    all_h = jnp.concatenate([hashes, other_h])
+    all_w = jnp.concatenate([counts, other_w.astype(jnp.uint32)])
+    all_h, all_w = jax.lax.sort((all_h, all_w), dimension=0, num_keys=1)
+    # Segment totals via cumsum differences at segment boundaries (a scatter-based
+    # segment-sum would lower to another full-width sort on TPU — measured 3x
+    # slower).  With c = inclusive cumsum(w), the sum of a segment ending at its
+    # last element p is c[p] - c[last element of the previous segment]; the latter
+    # is an exclusive running max of c masked to last-positions (c is
+    # nondecreasing, weights are unsigned).
+    is_last = jnp.concatenate([all_h[:-1] != all_h[1:], jnp.ones((1,), bool)])
+    c = jnp.cumsum(all_w.astype(jnp.uint64))
+    boundary = jnp.where(is_last, c, 0)
+    prev_boundary = jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint64), jax.lax.cummax(boundary)[:-1]])
+    seg_sum = (c - prev_boundary).astype(jnp.uint32)
+    keep = is_last & (all_h != _U64MAX)
+    uniq_h = jnp.where(keep, all_h, _U64MAX)
+    uniq_w = jnp.where(keep, seg_sum, 0)
+    # compact: stable sort sinks U64MAX pads, keeps survivors ascending
+    uniq_h, uniq_w = jax.lax.sort((uniq_h, uniq_w), dimension=0, num_keys=1)
+    spilled_now = jnp.sum(uniq_h[C:] != _U64MAX).astype(jnp.uint32)
+    return uniq_h[:C], uniq_w[:C].astype(jnp.uint32), spilled_now
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _fresh_buf(buf):
+    return jnp.full(buf.shape, _U64MAX, jnp.uint64)
+
+
+def flush(t: SortedTable) -> SortedTable:
+    if t.buf_n == 0:
+        return t
+    h, c, spilled_now = _merge_impl(t.hashes, t.counts, t.buf,
+                                    (t.buf != _U64MAX).astype(jnp.uint32))
+    return SortedTable(h, c, _fresh_buf(t.buf), 0, t.spilled + spilled_now)
+
+
+def merge_counts(t: SortedTable, other_h, other_w) -> SortedTable:
+    """Merge external (hash, count) pairs (e.g. a loaded checkpoint or another
+    shard's table) into this table."""
+    t = flush(t)
+    h, c, spilled_now = _merge_impl(t.hashes, t.counts,
+                                    jnp.asarray(other_h, jnp.uint64),
+                                    jnp.asarray(other_w, jnp.uint32))
+    return SortedTable(h, c, t.buf, 0, t.spilled + spilled_now)
+
+
+def grow(t: SortedTable, new_capacity: int) -> SortedTable:
+    """Re-house the table in a larger capacity (host-triggered on high water)."""
+    t = flush(t)
+    nt = make_sorted_table(new_capacity, t.buf.shape[0])
+    nt = merge_counts(nt, t.hashes, t.counts)
+    return SortedTable(nt.hashes, nt.counts, nt.buf, 0, t.spilled + nt.spilled)
+
+
+def append(t: SortedTable, emissions: jnp.ndarray) -> SortedTable:
+    """Append a batch of emissions ((N,) u64, U64MAX pads fine); auto-flush."""
+    n = emissions.shape[0]
+    if n > t.buf.shape[0]:
+        raise ValueError(f"batch {n} exceeds buffer capacity {t.buf.shape[0]}")
+    if t.buf_n + n > t.buf.shape[0]:
+        t = flush(t)
+    buf = _buf_write(t.buf, emissions, t.buf_n)
+    return SortedTable(t.hashes, t.counts, buf, t.buf_n + n, t.spilled)
+
+
+@functools.partial(jax.jit, static_argnames=("max_count",))
+def count_histogram(hashes, counts, max_count: int = 256) -> jnp.ndarray:
+    resident = hashes != _U64MAX
+    c = jnp.clip(counts, 0, max_count).astype(jnp.int32)
+    return jnp.zeros((max_count + 1,), jnp.int64).at[
+        jnp.where(resident, c, 0)].add(resident.astype(jnp.int64)).at[0].set(0)
+
+
+def compact(t: SortedTable, min_count: int = 0, max_count: int = 0
+            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host (hash, count) arrays, count-band filtered, ascending (already sorted
+    — canonical ids are positions).  Flush first: ``t = flush(t)`` (flush donates
+    the old buffers, so compact cannot flush on the caller's behalf)."""
+    if t.buf_n:
+        raise ValueError("compact requires a flushed table: t = flush(t) first")
+    h = np.asarray(t.hashes)
+    c = np.asarray(t.counts)
+    keep = h != U64MAX
+    if min_count:
+        keep &= c >= min_count
+    if max_count:
+        keep &= c <= max_count
+    return h[keep], c[keep]
+
+
+@jax.jit
+def lookup_ids(hashes: jnp.ndarray, queries: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized binary search: queries -> (position int32, found bool)."""
+    idx = jnp.searchsorted(hashes, queries)
+    idx_c = jnp.minimum(idx, hashes.shape[0] - 1)
+    found = (queries != _U64MAX) & (hashes[idx_c] == queries)
+    return jnp.where(found, idx_c, -1).astype(jnp.int32), found
