@@ -48,16 +48,18 @@ def bench_tpu(reads):
     import jax.numpy as jnp
     import hash10x_tpu
     from hash10x_tpu.hashspec import HashSpec, U64MAX
-    from hash10x_tpu.core import seqhash_jnp
+    from hash10x_tpu.kernels import minimizer_pallas as MP
     from hash10x_tpu.table import sorted_table as ST
     from hash10x_tpu.utils.sync import device_sync
 
     spec = HashSpec(k=K, w=W, seed=SEED)
     lengths = np.full(BATCH, READ_LEN, np.int32)
 
+    lengths_j = jnp.asarray(lengths)
+
     @jax.jit
     def sketch_flat(codes):
-        h, _, emit = seqhash_jnp.sketch(spec, codes, lengths, mode="minimizer")
+        h, _, emit = MP.sketch_minimizer(spec, codes, lengths_j)
         return jnp.where(emit, h, jnp.uint64(U64MAX)).reshape(-1)
 
     t = ST.make_sorted_table(1 << TABLE_BITS, 1 << 22)

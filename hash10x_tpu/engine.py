@@ -33,6 +33,7 @@ import numpy as np
 
 from .hashspec import HashSpec, U64MAX
 from .core import seqhash_jnp
+from .kernels import minimizer_pallas
 from .table import sorted_table as st
 from .table.incidence import Incidence, build_incidence, retained_lookup
 from .cluster import cooccur
@@ -56,6 +57,7 @@ class EngineConfig:
     min_share: int = 2               # pair mode: per-kmer-pair other-barcode support
     min_friend_share: int = 8        # friend mode: barcode-share threshold
     max_friends: int = 256
+    use_kernel: bool = True          # Pallas sketch kernel when shapes allow
 
 
 class Engine:
@@ -108,9 +110,21 @@ class Engine:
             yield codes, lengths, bcs
 
     def _sketch_flat(self, codes, lengths, bcs):
-        """Sketch one batch -> flat (hashes u64 (M,), bc int32 (M,)) with U64MAX pads."""
-        h, _, emit = seqhash_jnp.sketch(self.cfg.spec, codes, lengths,
-                                        mode=self.cfg.mode, m=self.cfg.modulus)
+        """Sketch one batch -> flat (hashes u64 (M,), bc int32 (M,)) with U64MAX pads.
+
+        Uses the fused Pallas kernel for the minimizer path when shapes allow;
+        batches containing short reads (0 < P_i < w, which the kernel skips)
+        fall back to the jnp path so emission stays exact."""
+        spec = self.cfg.spec
+        P_i = lengths - spec.k + 1
+        has_short = bool(((P_i > 0) & (P_i < spec.w)).any())
+        if (self.cfg.use_kernel and self.cfg.mode == "minimizer"
+                and not has_short
+                and minimizer_pallas.supported(spec, codes.shape)):
+            h, _, emit = minimizer_pallas.sketch_minimizer(spec, codes, lengths)
+        else:
+            h, _, emit = seqhash_jnp.sketch(spec, codes, lengths,
+                                            mode=self.cfg.mode, m=self.cfg.modulus)
         P = h.shape[1]
         flat_h = jnp.where(emit, h, jnp.uint64(U64MAX)).reshape(-1)
         flat_bc = jnp.broadcast_to(jnp.asarray(bcs)[:, None], (len(bcs), P)).reshape(-1)
