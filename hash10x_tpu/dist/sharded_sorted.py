@@ -1,0 +1,248 @@
+"""Sharded sorted-run count tables: the production multi-chip count path.
+
+Same mesh/routing design as ``sharded.py`` (DP read shards, owner-shard routing
+by hash low bits over one all_to_all, psum merges — SURVEY.md §3.2), but each
+shard's table is the sort-centric ``table/sorted_table.py`` design that measures
+~15x faster than open-addressing probing on this hardware.  Received lanes are
+appended to a per-shard buffer; flushes run shard-parallel under the same mesh.
+
+Also provides the sharded-table snapshot/restore of SURVEY.md §6
+(checkpoint/resume row): per-shard (hash, count) arrays + a json manifest holding
+the HashSpec and shard map; reload is mesh-shape-portable (pairs are re-routed by
+hash low bits under the target mesh size).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..hashspec import HashSpec, U64MAX
+from ..core import seqhash_jnp
+from ..kernels import minimizer_pallas
+from ..table import sorted_table as st
+
+__all__ = ["ShardedSortedTable", "make_sorted_count_step", "sorted_histogram",
+           "gather_sorted_compact", "save_snapshot", "load_snapshot"]
+
+_U64MAX = jnp.uint64(U64MAX)
+
+
+class ShardedSortedTable:
+    """Per-shard sorted tables as (n, C)/(n, Bc) device-sharded arrays."""
+
+    def __init__(self, mesh: Mesh, capacity: int, buf_capacity: int,
+                 spec: Optional[HashSpec] = None):
+        self.mesh = mesh
+        self.spec = spec
+        self.n_shards = mesh.devices.size
+        self.shard_bits = int(self.n_shards - 1).bit_length()
+        if (1 << self.shard_bits) != self.n_shards:
+            raise ValueError("mesh size must be a power of two")
+        self.capacity = capacity
+        self.buf_capacity = buf_capacity
+        sh = NamedSharding(mesh, P("d"))
+        n = self.n_shards
+        self.hashes = jax.device_put(
+            jnp.full((n, capacity), _U64MAX, jnp.uint64), sh)
+        self.counts = jax.device_put(jnp.zeros((n, capacity), jnp.uint32), sh)
+        self.buf = jax.device_put(
+            jnp.full((n, buf_capacity), _U64MAX, jnp.uint64), sh)
+        self.buf_n = 0
+        self.spilled = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
+        self.route_drops = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
+
+    @property
+    def n_filled(self) -> int:
+        return int(jnp.sum(self.hashes != _U64MAX))
+
+
+def _make_flush(mesh: Mesh):
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P("d"), P("d"), P("d")),
+                       out_specs=(P("d"), P("d"), P("d"), P("d")),
+                       check_vma=False)
+    def flush_body(hashes, counts, buf):
+        h, c, spilled = st._merge_impl(
+            hashes[0], counts[0], buf[0],
+            (buf[0] != _U64MAX).astype(jnp.uint32))
+        fresh = jnp.full(buf.shape[1:], _U64MAX, jnp.uint64)
+        return h[None], c[None], fresh[None], spilled[None]
+
+    return jax.jit(flush_body, donate_argnums=(0, 1, 2))
+
+
+def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
+                           modulus: int = 0, lane_capacity: int = 0,
+                           use_kernel: bool = False):
+    """Sharded count step over sorted tables.
+
+    Returns ``step(table, codes, lengths, bcs) -> table`` where codes (B, L) is
+    batch-sharded over the mesh.  Each device sketches, buckets emissions by
+    owner shard, one all_to_all delivers them, and the receiver appends to its
+    buffer (flushing shard-parallel when full).
+    """
+    n = mesh.devices.size
+    shard_mask = jnp.uint64(n - 1)
+    flush_fn = _make_flush(mesh)
+
+    def sketch(codes, lengths):
+        if use_kernel and minimizer_pallas.supported(spec, codes.shape) \
+                and mode == "minimizer":
+            return minimizer_pallas.sketch_minimizer(spec, codes, lengths)
+        return seqhash_jnp.sketch(spec, codes, lengths, mode=mode, m=modulus)
+
+    def step_body(buf, drops, codes, lengths, bcs, offset):
+        buf, drops = buf[0], drops[0]
+        h, _, emit = sketch(codes, lengths)
+        flat_h = jnp.where(emit, h, _U64MAX).reshape(-1)
+        E = flat_h.shape[0]
+        cap = lane_capacity or max(int(4 * E // max(n, 1)), 8)
+        dest = jnp.where(flat_h != _U64MAX,
+                         (flat_h & shard_mask).astype(jnp.int32), n)
+        order = jnp.argsort(dest, stable=True)
+        hs, ds = flat_h[order], dest[order]
+        pos = jnp.arange(E, dtype=jnp.int32) - jnp.searchsorted(
+            ds, ds, side="left").astype(jnp.int32)
+        lane_ok = (ds < n) & (pos < cap)
+        row = jnp.where(lane_ok, ds, n)
+        send = jnp.full((n, cap), _U64MAX, jnp.uint64)
+        send = send.at[row, pos].set(hs, mode="drop")
+        n_dropped = jnp.sum((ds < n) & ~lane_ok).astype(jnp.uint32)
+        if n > 1:
+            recv = jax.lax.all_to_all(send, "d", split_axis=0, concat_axis=0,
+                                      tiled=True)
+        else:
+            recv = send
+        buf = jax.lax.dynamic_update_slice(buf, recv.reshape(-1), (offset,))
+        return buf[None], (drops + n_dropped)[None]
+
+    step_jit = jax.jit(jax.shard_map(
+        step_body, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), None),
+        out_specs=(P("d"), P("d")),
+        check_vma=False),
+        donate_argnums=(0, 1), static_argnums=5)
+
+    def recv_width(batch_reads, read_len):
+        E = (batch_reads // n) * (read_len - spec.k + 1)
+        cap = lane_capacity or max(int(4 * E // max(n, 1)), 8)
+        return n * cap
+
+    def apply(t: ShardedSortedTable, codes, lengths, bcs) -> ShardedSortedTable:
+        width = recv_width(codes.shape[0], codes.shape[1])
+        if t.buf_n + width > t.buf_capacity:
+            (t.hashes, t.counts, t.buf, sp) = flush_fn(t.hashes, t.counts, t.buf)
+            t.spilled = t.spilled + sp
+            t.buf_n = 0
+        (t.buf, t.route_drops) = step_jit(
+            t.buf, t.route_drops, jnp.asarray(codes), jnp.asarray(lengths),
+            jnp.asarray(bcs), t.buf_n)
+        t.buf_n += width
+        return t
+
+    def finish(t: ShardedSortedTable) -> ShardedSortedTable:
+        if t.buf_n:
+            (t.hashes, t.counts, t.buf, sp) = flush_fn(t.hashes, t.counts, t.buf)
+            t.spilled = t.spilled + sp
+            t.buf_n = 0
+        return t
+
+    apply.finish = finish
+    return apply
+
+
+def sorted_histogram(t: ShardedSortedTable, max_count: int = 256) -> np.ndarray:
+    """psum-merged histogram across shards."""
+
+    @functools.partial(jax.shard_map, mesh=t.mesh, in_specs=(P("d"), P("d")),
+                       out_specs=P(), check_vma=False)
+    def hist(hashes, counts):
+        h = st.count_histogram(hashes[0], counts[0], max_count)
+        return jax.lax.psum(h, "d")
+
+    return np.asarray(jax.jit(hist)(t.hashes, t.counts))
+
+
+def gather_sorted_compact(t: ShardedSortedTable, min_count: int = 0,
+                          max_count: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-gathered global (hash, count), ascending — canonical global ids."""
+    h = np.asarray(t.hashes).reshape(-1)
+    c = np.asarray(t.counts).reshape(-1)
+    keep = h != U64MAX
+    if min_count:
+        keep &= c >= min_count
+    if max_count:
+        keep &= c <= max_count
+    h, c = h[keep], c[keep]
+    order = np.argsort(h, kind="stable")
+    return h[order], c[order]
+
+
+# -- sharded snapshot / restore (SURVEY.md §6 checkpoint row) --------------------
+
+def save_snapshot(t: ShardedSortedTable, path: str) -> None:
+    """Per-shard (hash, count) files + manifest; the .hash-file analog."""
+    os.makedirs(path, exist_ok=True)
+    manifest = {
+        "version": 1,
+        "n_shards": t.n_shards,
+        "shard_bits": t.shard_bits,
+        "capacity": t.capacity,
+        "spec": json.loads(t.spec.to_json()) if t.spec else None,
+    }
+    hashes = np.asarray(t.hashes)
+    counts = np.asarray(t.counts)
+    for s in range(t.n_shards):
+        keep = hashes[s] != U64MAX
+        np.savez(os.path.join(path, f"shard_{s:05d}.npz"),
+                 hashes=hashes[s][keep], counts=counts[s][keep])
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def load_snapshot(path: str, mesh: Mesh, capacity: int = 0,
+                  buf_capacity: int = 0,
+                  expect_spec: Optional[HashSpec] = None) -> ShardedSortedTable:
+    """Restore a snapshot onto ``mesh`` (any power-of-two size — pairs re-route
+    by hash low bits under the new shard count)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    spec = HashSpec(**manifest["spec"]) if manifest["spec"] else None
+    if expect_spec is not None and spec is not None and spec != expect_spec:
+        raise ValueError(f"snapshot spec {spec} != expected {expect_spec} "
+                         "(tables are only comparable with identical k/w/seed)")
+    hs, cs = [], []
+    for s in range(manifest["n_shards"]):
+        z = np.load(os.path.join(path, f"shard_{s:05d}.npz"))
+        hs.append(z["hashes"])
+        cs.append(z["counts"])
+    all_h = np.concatenate(hs)
+    all_c = np.concatenate(cs)
+
+    n = mesh.devices.size
+    cap = capacity or manifest["capacity"]
+    t = ShardedSortedTable(mesh, cap, buf_capacity or cap, spec=spec)
+    # route by low bits under the new mesh; merge shard-parallel
+    per_shard_h = np.full((n, cap), U64MAX, np.uint64)
+    per_shard_c = np.zeros((n, cap), np.uint32)
+    dest = (all_h & (n - 1)).astype(np.int64)
+    for s in range(n):
+        sel = dest == s
+        m = int(sel.sum())
+        if m > cap:
+            raise ValueError(f"shard {s} needs {m} > capacity {cap}")
+        order = np.argsort(all_h[sel], kind="stable")
+        per_shard_h[s, :m] = all_h[sel][order]
+        per_shard_c[s, :m] = all_c[sel][order]
+    sh = NamedSharding(mesh, P("d"))
+    t.hashes = jax.device_put(jnp.asarray(per_shard_h), sh)
+    t.counts = jax.device_put(jnp.asarray(per_shard_c), sh)
+    return t

@@ -117,3 +117,60 @@ def test_lane_overflow_is_counted():
     expect = single_device_counts(spec, codes, lengths, bcs)
     # delivered mass + dropped mass == total mass
     assert int(gc.sum()) + drops == sum(expect.values())
+
+
+# ---- sorted-table sharded path (production count path) ----
+
+from hash10x_tpu.dist import sharded_sorted as DS
+
+
+@pytest.mark.parametrize("n_mesh", [1, 2, 8])
+def test_sharded_sorted_equals_single_device(n_mesh):
+    spec = HashSpec(k=21, w=7, seed=17)
+    codes, lengths, bcs = sim_lane()
+    mesh = D.make_mesh(n_mesh)
+    t = DS.ShardedSortedTable(mesh, capacity=1 << 17, buf_capacity=1 << 20,
+                              spec=spec)
+    step = DS.make_sorted_count_step(spec, mesh)
+    half = len(codes) // 2
+    t = step(t, codes[:half], lengths[:half], bcs[:half])
+    t = step(t, codes[half:], lengths[half:], bcs[half:])
+    t = step.finish(t)
+    assert int(np.asarray(t.route_drops).sum()) == 0
+    assert int(np.asarray(t.spilled).sum()) == 0
+    gh, gc = DS.gather_sorted_compact(t)
+    expect = single_device_counts(spec, codes, lengths, bcs)
+    assert dict(zip(gh.tolist(), gc.tolist())) == expect
+    # histogram psum merge agrees
+    hist = DS.sorted_histogram(t, 64)
+    eh = np.bincount(np.clip(gc, 0, 64), minlength=65)
+    eh[0] = 0
+    assert (hist == eh).all()
+
+
+def test_snapshot_restore_mesh_portable(tmp_path):
+    spec = HashSpec(k=17, w=5, seed=11)
+    codes, lengths, bcs = sim_lane(seed=6)
+    mesh8 = D.make_mesh(8)
+    t = DS.ShardedSortedTable(mesh8, capacity=1 << 17, buf_capacity=1 << 20,
+                              spec=spec)
+    step = DS.make_sorted_count_step(spec, mesh8)
+    t = step(t, codes, lengths, bcs)
+    t = step.finish(t)
+    gh, gc = DS.gather_sorted_compact(t)
+    DS.save_snapshot(t, str(tmp_path / "snap"))
+    # reload on a 2-device mesh: same global table
+    mesh2 = D.make_mesh(2)
+    t2 = DS.load_snapshot(str(tmp_path / "snap"), mesh2, capacity=1 << 17,
+                          expect_spec=spec)
+    gh2, gc2 = DS.gather_sorted_compact(t2)
+    assert (gh == gh2).all() and (gc == gc2).all()
+    # shard ownership under the new mesh
+    keys = np.asarray(t2.hashes)
+    for s in range(2):
+        k = keys[s][keys[s] != U64MAX]
+        assert (k & 1 == s).all()
+    # spec mismatch rejected
+    with pytest.raises(ValueError):
+        DS.load_snapshot(str(tmp_path / "snap"), mesh2,
+                         expect_spec=HashSpec(k=19, w=5, seed=11))
