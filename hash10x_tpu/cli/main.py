@@ -14,7 +14,7 @@ Parameters (take effect for later commands):
   -w <int>             minimizer window / modimizer modulus (default 11)
   -r <int>             hash seed (default 17)
   -B | --tableBits <b> count table has 2^b slots (default 22)
-  --minimizer | --modimizer | --allKmers     sketch mode (default minimizer)
+  --minimizer | --modimizer | --allKmers | --syncmer <s>   sketch mode
   --minCount <n> --maxCount <n>              count band for good k-mers
   --minShare <n>       pair-mode support threshold
   --friendShare <n>    friend-mode barcode share threshold
@@ -32,6 +32,8 @@ Commands (executed in order):
   --hashDist           count histogram to stdout
   --writeHash <out>    save table checkpoint
   --readHash <in>      load table checkpoint
+  --errorFix <max>     drop error-band k-mers with count <= max
+  --metrics <file>     append per-command JSONL metrics
   --cluster | --codeClusters   count-band filter + incidence + per-barcode clusters
   --clusterSplit       remap (code, cluster) -> new molecule codes
   --clusterReport      per-code cluster report to stdout
@@ -51,7 +53,6 @@ from typing import List, Optional
 from ..hashspec import HashSpec
 from ..engine import Engine, EngineConfig
 from ..io import fqb as FB
-from ..io.fastq import read_fastq, extract_barcodes
 from ..io.sim import SimConfig, simulate
 
 __all__ = ["main"]
@@ -72,6 +73,8 @@ class _State:
         self.cluster_mode = "friend"
         self.count_mode = "barcodes"
         self.batch_reads = 4096
+        self.syncmer_s = 0
+        self.metrics_path = None
         self.engine: Optional[Engine] = None
         self.fqb = None
         self.crib = None
@@ -84,8 +87,11 @@ class _State:
                 batch_reads=self.batch_reads, count_mode=self.count_mode,
                 min_count=self.min_count, max_count=self.max_count,
                 cluster_mode=self.cluster_mode, min_share=self.min_share,
-                min_friend_share=self.min_friend_share)
+                min_friend_share=self.min_friend_share, syncmer_s=self.syncmer_s)
             self.engine = Engine(cfg, log=self.err)
+            if self.metrics_path:
+                from ..utils.timing import StageTimer
+                self.engine.timer = StageTimer(self.err, self.metrics_path)
         return self.engine
 
     def param_change_guard(self):
@@ -141,6 +147,9 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             st.mode = "modimizer"
         elif a == "--allKmers":
             st.mode = "kmer"
+        elif a == "--syncmer":
+            st.mode = "syncmer"
+            st.syncmer_s = int(need(1, a)[0])
         elif a == "--minCount":
             st.min_count = int(need(1, a)[0])
         elif a == "--maxCount":
@@ -155,14 +164,13 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             st.count_mode = need(1, a)[0]
         elif a == "--batchReads":
             st.batch_reads = int(need(1, a)[0])
+        elif a == "--metrics":
+            st.metrics_path = need(1, a)[0]
         elif a == "-t":
             need(1, a)  # accepted for compatibility; XLA owns parallelism
         # ---- commands ----
         elif a == "--readFastq":
-            path = need(1, a)[0]
-            batch = read_fastq(path)
-            _, batch = extract_barcodes(batch)
-            st.fqb = FB.from_read_batch(batch)
+            st.fqb = FB.fastq_to_fqb(need(1, a)[0])
             st.get_engine().count(st.fqb)
         elif a == "--readFQB":
             st.fqb = FB.load_fqb(need(1, a)[0])
@@ -183,6 +191,8 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             st.get_engine().save(need(1, a)[0])
         elif a == "--readHash":
             st.get_engine().load(need(1, a)[0])
+        elif a == "--errorFix":
+            st.get_engine().error_fix(int(need(1, a)[0]))
         elif a in ("--cluster", "--codeClusters"):
             eng = st.get_engine()
             if st.fqb is None:

@@ -132,11 +132,31 @@ def modimizer_mask(spec: HashSpec, hashes: jnp.ndarray, valid: jnp.ndarray,
     return valid & (hashes % _u64(m) == 0)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def syncmer_mask(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray,
+                 s: int, sub_seed: int = 0) -> jnp.ndarray:
+    """Open-syncmer emission mask (oracle: ``seqhash_ref.syncmers``): keep a
+    k-mer iff the minimal canonical s-mer hash inside it sits at offset 0
+    (leftmost tie-break => keep iff smer[0] <= every other smer)."""
+    if not (0 < s < spec.k):
+        raise ValueError("syncmer s must satisfy 0 < s < k")
+    sub = HashSpec(k=s, w=1, seed=sub_seed or spec.seed)
+    sh, _, _ = kmer_grid(sub, codes, lengths)       # (B, L-s+1)
+    P = codes.shape[1] - spec.k + 1
+    span = spec.k - s + 1
+    keep = jnp.ones((codes.shape[0], P), bool)
+    base = sh[:, :P]
+    for j in range(1, span):
+        keep = keep & (sh[:, j:j + P] >= base)
+    return keep
+
+
 def sketch(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray,
-           mode: str = "minimizer", m: int = 0):
+           mode: str = "minimizer", m: int = 0, syncmer_s: int = 0):
     """One-call sketching: returns (hashes, is_forward, emit_mask), all (B, P).
 
-    mode: 'kmer' (every k-mer), 'minimizer', or 'modimizer'.
+    mode: 'kmer' (every k-mer), 'minimizer', 'modimizer', or 'syncmer'
+    (syncmer_s = s-mer size).
     """
     hashes, is_forward, valid = kmer_grid(spec, codes, lengths)
     if mode == "kmer":
@@ -145,6 +165,8 @@ def sketch(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray,
         emit = minimizer_mask(spec, hashes, valid)
     elif mode == "modimizer":
         emit = modimizer_mask(spec, hashes, valid, m)
+    elif mode == "syncmer":
+        emit = valid & syncmer_mask(spec, codes, lengths, syncmer_s)
     else:
         raise ValueError(f"unknown sketch mode {mode!r}")
     return hashes, is_forward, emit

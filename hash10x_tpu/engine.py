@@ -46,8 +46,9 @@ __all__ = ["Engine", "EngineConfig"]
 @dataclass
 class EngineConfig:
     spec: HashSpec = field(default_factory=HashSpec)
-    mode: str = "minimizer"          # kmer | minimizer | modimizer
+    mode: str = "minimizer"          # kmer | minimizer | modimizer | syncmer
     modulus: int = 0                  # modimizer modulus (0 => w)
+    syncmer_s: int = 0                # syncmer s-mer size (mode == "syncmer")
     table_bits: int = 22          # initial capacity 2^bits entries (auto-grows)
     batch_reads: int = 4096
     count_mode: str = "barcodes"     # barcodes | occurrences
@@ -124,7 +125,8 @@ class Engine:
             h, _, emit = minimizer_pallas.sketch_minimizer(spec, codes, lengths)
         else:
             h, _, emit = seqhash_jnp.sketch(spec, codes, lengths,
-                                            mode=self.cfg.mode, m=self.cfg.modulus)
+                                            mode=self.cfg.mode, m=self.cfg.modulus,
+                                            syncmer_s=self.cfg.syncmer_s)
         P = h.shape[1]
         flat_h = jnp.where(emit, h, jnp.uint64(U64MAX)).reshape(-1)
         flat_bc = jnp.broadcast_to(jnp.asarray(bcs)[:, None], (len(bcs), P)).reshape(-1)
@@ -202,6 +204,21 @@ class Engine:
         hist = self.histogram(max_count)
         for c in np.nonzero(hist)[0]:
             out.write(f"{c}\t{int(hist[c])}\n")
+
+    def error_fix(self, max_count: int = 1) -> None:
+        """Drop error-band k-mers (count <= max_count) from the table.
+
+        Reconstructed-minimal model of the reference's optional errorFix
+        (SURVEY.md §3.1 #12, [L] confidence): the table stores only hash values,
+        which the multiplicative mix makes non-invertible, so neighbor-based
+        re-assignment is impossible for the reference too — deleting the error
+        band is the implementable semantic."""
+        t = self._flushed()
+        before = int(np.asarray(t.n_filled))
+        self.table = st.prune(t, max_count + 1)
+        after = int(np.asarray(self.table.n_filled))
+        self.timer.stage(f"errorFix: dropped {before - after} kmers "
+                         f"with count <= {max_count}")
 
     def filter(self, min_count: int = 0, max_count: int = 0) -> None:
         """Keep "good" k-mers whose count lies in the band (SURVEY.md §3.1 #5)."""

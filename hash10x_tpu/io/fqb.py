@@ -89,12 +89,33 @@ def load_fqb(path) -> Fqb:
                read_len=meta["read_len"])
 
 
+def from_packed(packed: np.ndarray, lengths: np.ndarray, barcode_keys: np.ndarray,
+                read_len: int) -> Fqb:
+    """Assemble an Fqb directly from packed parts (the native loader's output)."""
+    valid = barcode_keys != _INVALID
+    uniq = np.unique(barcode_keys[valid])
+    ids = np.full(len(barcode_keys), -1, np.int32)
+    ids[valid] = np.searchsorted(uniq, barcode_keys[valid]).astype(np.int32)
+    return Fqb(packed=packed, lengths=lengths.astype(np.int32), barcode_ids=ids,
+               barcode_keys=uniq.astype(np.uint32), read_len=read_len)
+
+
 def fastq_to_fqb(fastq_path, out_path=None, barcoded: bool = True,
-                 max_len: int = 0) -> Fqb:
+                 max_len: int = 0, prefer_native: bool = True) -> Fqb:
     """FASTQ (R1 with leading 16bp GEM barcode if ``barcoded``) -> Fqb.
 
-    The FASTQ->FQB converter of SURVEY.md §3.1 #3.
+    The FASTQ->FQB converter of SURVEY.md §3.1 #3.  Uses the native C loader
+    (io/native_loader.py, OpenMP fused parse+pack) when available and
+    ``barcoded``; otherwise the vectorized numpy path.
     """
+    if barcoded and prefer_native:
+        from . import native_loader
+        parts = native_loader.load_fastq_native(fastq_path, max_len=max_len)
+        if parts is not None:
+            fqb = from_packed(*parts)
+            if out_path is not None:
+                save_fqb(out_path, fqb)
+            return fqb
     batch = read_fastq(fastq_path, max_len=max_len)
     if barcoded:
         _, batch = extract_barcodes(batch)

@@ -179,6 +179,23 @@ def compact(t: SortedTable, min_count: int = 0, max_count: int = 0
     return h[keep], c[keep]
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _prune_impl(hashes, counts, min_count):
+    keep = counts >= min_count
+    h = jnp.where(keep, hashes, _U64MAX)
+    c = jnp.where(keep, counts, 0)
+    return jax.lax.sort((h, c), dimension=0, num_keys=1)
+
+
+def prune(t: SortedTable, min_count: int) -> SortedTable:
+    """Drop k-mers with count < min_count (the minimal error-fix pass — see
+    engine.error_fix).  Flush first (move semantics)."""
+    if t.buf_n:
+        raise ValueError("prune requires a flushed table")
+    h, c = _prune_impl(t.hashes, t.counts, jnp.uint32(min_count))
+    return SortedTable(h, c, t.buf, 0, t.spilled)
+
+
 @jax.jit
 def lookup_ids(hashes: jnp.ndarray, queries: jnp.ndarray
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -148,3 +148,33 @@ def test_cli_crib_pipeline(tmp_path, rng):
     assert "crib overall purity" in out
     purity = float(out.rsplit("purity ", 1)[1].split()[0])
     assert purity > 0.85, f"phasing purity {purity}"
+
+
+def test_syncmer_and_errorfix_commands(tmp_path):
+    rc, out, err = run(["-k", "15", "-w", "5", "-B", "18", "--syncmer", "7",
+                        "--simulate", "genome_len=30000,n_barcodes=8,"
+                        "molecules_per_barcode=1,molecule_len=3000,"
+                        "reads_per_molecule=20,read_len=100,seed=9",
+                        "--hashInfo", "--errorFix", "1", "--hashInfo"])
+    assert rc == 0
+    infos = [l for l in out.splitlines() if l.startswith("table slots")]
+    assert len(infos) == 2
+    n_before = int(infos[0].split()[4])
+    n_after = int(infos[1].split()[4])
+    assert n_after < n_before       # error band (count<=1) removed
+    assert "errorFix: dropped" in err
+
+
+def test_metrics_jsonl(tmp_path):
+    m = tmp_path / "metrics.jsonl"
+    rc, out, err = run(["-k", "15", "-w", "5", "-B", "18",
+                        "--metrics", str(m),
+                        "--simulate", "genome_len=10000,n_barcodes=4,"
+                        "molecules_per_barcode=1,molecule_len=2000,"
+                        "reads_per_molecule=10,read_len=100,seed=9",
+                        "--hashDist"])
+    assert rc == 0
+    import json as _json
+    lines = [_json.loads(l) for l in m.read_text().splitlines()]
+    assert any(l["stage"].startswith("count:") for l in lines)
+    assert all("wall_s" in l and "max_rss_mb" in l for l in lines)

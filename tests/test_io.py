@@ -104,3 +104,46 @@ def test_simulator_truth_consistency():
         g = sim.genome if hap == 0 else sim.genome_hap1
         hay = bytes(g[s:e])
         assert bytes(sim.reads.codes[r]) in hay
+
+
+def test_native_loader_matches_numpy(tmp_path):
+    """The C loader's packed output must equal the numpy path exactly,
+    including N-in-barcode invalidation and N-in-sequence packing."""
+    from hash10x_tpu.io import native_loader
+    if not native_loader.available():
+        import pytest
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(5)
+    bases = b"ACGT"
+    recs = []
+    for i in range(50):
+        bc = bytearray(bases[b] for b in rng.integers(0, 4, 16))
+        if i % 7 == 0:
+            bc[3] = ord("N")                      # invalid barcode
+        seqlen = int(rng.integers(30, 120))
+        seq = bytearray(bases[b] for b in rng.integers(0, 4, seqlen))
+        if i % 5 == 0 and seqlen > 10:
+            seq[10] = ord("N")                    # N inside the sequence
+        recs.append((b"r%d" % i, bytes(bc) + bytes(seq)))
+    p = tmp_path / "lane.fastq"
+    write_fastq(p, recs)
+
+    native = FB.fastq_to_fqb(p, prefer_native=True)
+    plain = FB.fastq_to_fqb(p, prefer_native=False)
+    assert native.read_len == plain.read_len
+    assert (native.lengths == plain.lengths).all()
+    assert (native.barcode_ids == plain.barcode_ids).all()
+    assert (native.barcode_keys == plain.barcode_keys).all()
+    assert (native.packed == plain.packed).all()
+
+
+def test_native_loader_malformed(tmp_path):
+    from hash10x_tpu.io import native_loader
+    if not native_loader.available():
+        import pytest
+        pytest.skip("no C toolchain")
+    p = tmp_path / "bad.fastq"
+    p.write_bytes(b"not a fastq\nACGT\n+\nIIII\n")
+    import pytest
+    with pytest.raises(ValueError):
+        native_loader.load_fastq_native(p)

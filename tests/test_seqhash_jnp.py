@@ -72,3 +72,15 @@ def test_w1_minimizer_is_every_kmer(rng):
     hashes, _, valid = J.kmer_grid(spec, codes, lengths)
     emit = J.minimizer_mask(spec, hashes, valid)
     assert (np.asarray(emit) == np.asarray(valid)).all()
+
+
+def test_syncmer_mask_matches_oracle(rng):
+    from hash10x_tpu.oracle import seqhash_ref as O2
+    spec = HashSpec(k=15, w=5, seed=17)
+    codes, lengths = batch_of(rng, 6, 90, var_len=True)
+    hashes, fwd, emit = J.sketch(spec, codes, lengths, mode="syncmer", syncmer_s=7)
+    got = grid_to_list(np.asarray(hashes), np.asarray(fwd), np.asarray(emit),
+                       lengths, spec.k)
+    for i in range(len(codes)):
+        expect = O2.syncmers(spec, list(codes[i, :lengths[i]]), s=7)
+        assert got[i] == expect, f"read {i}"
