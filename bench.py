@@ -14,6 +14,7 @@ Config: BASELINE.json config #1 semantics — minimizer occurrence counts, singl
 barcode stream, k=21.
 """
 
+import functools
 import json
 import os
 import subprocess
@@ -57,29 +58,48 @@ def bench_tpu(reads):
 
     lengths_j = jnp.asarray(lengths)
 
-    @jax.jit
-    def sketch_flat(codes):
-        h, _, emit = MP.sketch_minimizer(spec, codes, lengths_j)
-        return jnp.where(emit, h, jnp.uint64(U64MAX)).reshape(-1)
+    # per-read emission cap: E[minimizers/read] = 2P/(w+1); 4x headroom.
+    # Overflowing rows would be counted (cap_overflow), never silent.
+    P = READ_LEN - K + 1
+    CAP = min(P, 4 * (2 * P // (W + 1)) + 4)
 
-    t = ST.make_sorted_table(1 << TABLE_BITS, 1 << 22)
+    @functools.partial(jax.jit, donate_argnums=0, static_argnames=("offset",))
+    def append_step(buf, codes, offset, over):
+        # fused: pallas sketch -> compact emissions per read -> buffer write
+        h, _, emit = MP.sketch_minimizer(spec, codes, lengths_j)
+        keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
+        packed = jnp.sort(keyed, axis=1)[:, :CAP]     # emitted hashes first
+        over = over + jnp.sum(emit.sum(axis=1) > CAP)
+        flat = packed.reshape(-1)
+        return jax.lax.dynamic_update_slice(buf, flat, (offset,)), over
+
+    E = BATCH * CAP
+    t = ST.make_sorted_table(1 << TABLE_BITS, 1 << 23)
     batches = [jnp.asarray(reads[i:i + BATCH]) for i in range(0, N_READS, BATCH)]
 
     def run(t):
+        over = jnp.zeros((), jnp.int64)
         for b in batches:
-            t = ST.append(t, sketch_flat(b))
+            if t.buf_n + E > t.buf.shape[0]:
+                t = ST.flush(t)
+            buf, over = append_step(t.buf, b, t.buf_n, over)
+            t = ST.SortedTable(t.hashes, t.counts, buf, t.buf_n + E, t.spilled)
+        assert int(over) == 0, "emission cap overflow"
         return ST.flush(t)
 
-    # warmup (compile every shape incl. flush), then steady-state timing with a
-    # real host-readback sync (block_until_ready is enqueue-only via the relay)
+    # warmup (compile every shape incl. flush), then best-of-3 steady-state
+    # timing with a real host-readback sync (block_until_ready is enqueue-only
+    # via the relay); best-of smooths relay noise
     t = run(t)
     device_sync(t.hashes)
-    t0 = time.monotonic()
-    t = run(t)
-    device_sync(t.hashes)
-    dt = time.monotonic() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        t = run(t)
+        device_sync(t.hashes)
+        best = min(best, time.monotonic() - t0)
     n_kmers = int(np.asarray(t.n_filled))
-    return N_READS / dt, n_kmers, dt
+    return N_READS / best, n_kmers, best
 
 
 def bench_c(reads):

@@ -59,6 +59,8 @@ class EngineConfig:
     min_friend_share: int = 8        # friend mode: barcode-share threshold
     max_friends: int = 256
     use_kernel: bool = True          # Pallas sketch kernel when shapes allow
+    emission_cap_factor: int = 4     # per-read emission cap = factor * expected
+                                     # (0 disables compaction); overflow raises
 
 
 class Engine:
@@ -72,6 +74,7 @@ class Engine:
         self.split_inc: Optional[Incidence] = None
         self.split_origin: Optional[np.ndarray] = None
         self.n_reads_counted = 0
+        self._cap_overflow = jnp.zeros((), jnp.int64)
         self.timer = StageTimer(log)
 
     # -- batching ------------------------------------------------------------------
@@ -128,7 +131,20 @@ class Engine:
                                             mode=self.cfg.mode, m=self.cfg.modulus,
                                             syncmer_s=self.cfg.syncmer_s)
         P = h.shape[1]
-        flat_h = jnp.where(emit, h, jnp.uint64(U64MAX)).reshape(-1)
+        keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
+        cf = self.cfg.emission_cap_factor
+        if cf and self.cfg.mode == "minimizer" and spec.w > 1:
+            # compact emissions per read: row sort brings emitted hashes to the
+            # front; cap with exact overflow accounting (checked after count())
+            cap = min(P, cf * (2 * P // (spec.w + 1)) + cf)
+            packed = jnp.sort(keyed, axis=1)[:, :cap]
+            self._cap_overflow = self._cap_overflow + jnp.sum(
+                emit.sum(axis=1) > cap)
+            flat_h = packed.reshape(-1)
+            flat_bc = jnp.broadcast_to(jnp.asarray(bcs)[:, None],
+                                       (len(bcs), cap)).reshape(-1)
+            return flat_h, flat_bc
+        flat_h = keyed.reshape(-1)
         flat_bc = jnp.broadcast_to(jnp.asarray(bcs)[:, None], (len(bcs), P)).reshape(-1)
         return flat_h, flat_bc
 
@@ -181,6 +197,10 @@ class Engine:
             else:
                 self._append(flat_h)
             self.n_reads_counted += int((lengths > 0).sum())
+        if int(np.asarray(self._cap_overflow)):
+            raise RuntimeError(
+                f"{int(np.asarray(self._cap_overflow))} reads exceeded the "
+                "per-read emission cap; raise emission_cap_factor")
         t = self._flushed()
         self.timer.stage(f"count: {self.n_reads_counted} reads, "
                          f"{int(np.asarray(t.n_filled))} kmers, "
