@@ -63,7 +63,7 @@ def bench_tpu(reads):
     P = READ_LEN - K + 1
     CAP = min(P, 4 * (2 * P // (W + 1)) + 4)
 
-    @functools.partial(jax.jit, donate_argnums=0, static_argnames=("offset",))
+    @functools.partial(jax.jit, donate_argnums=0)
     def append_step(buf, codes, offset, over):
         # fused: pallas sketch -> compact emissions per read -> buffer write
         h, _, emit = MP.sketch_minimizer(spec, codes, lengths_j)
@@ -71,7 +71,7 @@ def bench_tpu(reads):
         packed = jnp.sort(keyed, axis=1)[:, :CAP]     # emitted hashes first
         over = over + jnp.sum(emit.sum(axis=1) > CAP)
         flat = packed.reshape(-1)
-        return jax.lax.dynamic_update_slice(buf, flat, (offset,)), over
+        return jax.lax.dynamic_update_slice(buf, flat, (jnp.int32(offset),)), over
 
     E = BATCH * CAP
     t = ST.make_sorted_table(1 << TABLE_BITS, 1 << 23)

@@ -195,7 +195,7 @@ def _extract_friends(share: np.ndarray, chunk, thr: int, max_friends: int
 
 def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
                   min_friend_share: int = 8, max_friends: int = 256,
-                  max_batch_cells: int = 1 << 24) -> List[np.ndarray]:
+                  max_batch_bytes: int = 256 << 20) -> List[np.ndarray]:
     """Cluster every barcode of an Incidence (the ``--codeClusters`` pass).
 
     mode="pair": exact pairwise-support contract (O(K^2) per barcode — small sets).
@@ -229,19 +229,36 @@ def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
             if len(ks):
                 cmax = max(cmax, int(list_lens[ks].max()))
         cc = _size_class(cmax)
-        cost = kc * kc * cc if mode == "pair" else kc * cc * max(max_friends, 64)
-        bsz = max(1, max_batch_cells // max(cost, 1))
+        # per-row working set (int32 cells): pair mode materializes the one-hot
+        # (K, K*C); friend mode holds CL (K,C) + a share row (n_codes) + the
+        # membership/label tensors (K*F)
+        if mode == "pair":
+            per_row = kc * kc * cc
+        else:
+            per_row = kc * cc + inc.n_codes + kc * max(max_friends, 64)
+        bsz = max(1, max_batch_bytes // (4 * max(per_row, 1)))
         for i in range(0, len(codes_in_class), bsz):
             chunk = codes_in_class[i:i + bsz]
             B = len(chunk)
             cl = np.full((B, kc, cc), -1, np.int32)
             valid = np.zeros((B, kc), bool)
-            for bi, code in enumerate(chunk):
-                ks = inc.kmers_of(code)
-                valid[bi, :len(ks)] = True
-                for ki, kmer in enumerate(ks):
-                    lst = inc.codes_of(int(kmer))
-                    cl[bi, ki, :len(lst)] = lst
+            # vectorized CSR expansion (a python loop here is O(sum K_c * C) —
+            # minutes at 50k barcodes)
+            chunk_arr = np.asarray(chunk)
+            ks_counts = sizes[chunk_arr]
+            bi_of_k = np.repeat(np.arange(B), ks_counts)
+            ki_of_k = np.arange(int(ks_counts.sum())) - np.repeat(
+                np.cumsum(ks_counts) - ks_counts, ks_counts)
+            valid[bi_of_k, ki_of_k] = True
+            kmer_flat = np.concatenate(
+                [inc.kmers_of(c) for c in chunk]) if B else np.zeros(0, np.int64)
+            ll = list_lens[kmer_flat]                       # per-kmer list length
+            total = int(ll.sum())
+            row_of = np.repeat(np.arange(len(kmer_flat)), ll)
+            col_of = np.arange(total) - np.repeat(np.cumsum(ll) - ll, ll)
+            src = inc.kmer_codes[np.repeat(inc.kmer_offsets[kmer_flat], ll)
+                                 + col_of]
+            cl[bi_of_k[row_of], ki_of_k[row_of], col_of] = src
             if mode == "pair":
                 labels = np.asarray(cluster_batch(cl, valid, min_share))
             elif mode == "friend":

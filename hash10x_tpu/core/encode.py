@@ -16,6 +16,7 @@ __all__ = [
     "codes_to_ascii",
     "pack_2bit",
     "unpack_2bit",
+    "unpack_2bit_jnp",
     "revcomp_codes",
 ]
 
@@ -71,3 +72,17 @@ def unpack_2bit(packed: np.ndarray, length: int) -> np.ndarray:
     c = (p >> shifts) & 3
     c = c.reshape(c.shape[:-2] + (-1,))
     return c[..., :length].astype(np.uint8)
+
+
+def unpack_2bit_jnp(packed, length: int):
+    """Device-side unpack: (..., W) uint32 -> (..., length) uint8 codes.
+
+    Transfers ship packed (4x smaller through the host->device link); this
+    runs fused with the consumer under jit.
+    """
+    import jax.numpy as jnp
+    p = jnp.asarray(packed, jnp.uint32)[..., :, None]
+    shifts = (2 * jnp.arange(16, dtype=jnp.uint32))
+    c = (p >> shifts) & jnp.uint32(3)
+    c = c.reshape(c.shape[:-2] + (-1,))
+    return c[..., :length].astype(jnp.uint8)

@@ -74,6 +74,7 @@ class Engine:
         self.split_inc: Optional[Incidence] = None
         self.split_origin: Optional[np.ndarray] = None
         self.n_reads_counted = 0
+        self._read_len = 0
         self._cap_overflow = jnp.zeros((), jnp.int64)
         self.timer = StageTimer(log)
 
@@ -84,7 +85,7 @@ class Engine:
         barcode never straddles a batch (padding rows have length 0, barcode -1)."""
         bsz = self.cfg.batch_reads
         order = np.argsort(fqb.barcode_ids, kind="stable")
-        codes_all = fqb.codes()[order]
+        packed_all = fqb.packed[order]
         lengths_all = fqb.lengths[order]
         bc_all = fqb.barcode_ids[order]
         n = len(bc_all)
@@ -102,24 +103,34 @@ class Engine:
                     j = jb
             i = j
             starts.append(i)
-        L = codes_all.shape[1]
+        W = packed_all.shape[1]
+        import jax
+        pending = None
         for a, b in zip(starts[:-1], starts[1:]):
             m = b - a
-            codes = np.full((bsz, L), 0, np.uint8)
+            packed = np.zeros((bsz, W), np.uint32)
             lengths = np.zeros(bsz, np.int32)
             bcs = np.full(bsz, -1, np.int32)
-            codes[:m] = codes_all[a:b]
+            packed[:m] = packed_all[a:b]
             lengths[:m] = lengths_all[a:b]
             bcs[:m] = bc_all[a:b]
-            yield codes, lengths, bcs
+            nxt = (jax.device_put(packed), lengths, bcs)  # overlap transfer
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
 
-    def _sketch_flat(self, codes, lengths, bcs):
+    def _sketch_flat(self, packed, lengths, bcs):
         """Sketch one batch -> flat (hashes u64 (M,), bc int32 (M,)) with U64MAX pads.
 
-        Uses the fused Pallas kernel for the minimizer path when shapes allow;
-        batches containing short reads (0 < P_i < w, which the kernel skips)
-        fall back to the jnp path so emission stays exact."""
+        Batches arrive 2-bit packed (4x smaller transfers); unpack runs on
+        device.  Uses the fused Pallas kernel for the minimizer path when shapes
+        allow; batches containing short reads (0 < P_i < w, which the kernel
+        skips) fall back to the jnp path so emission stays exact."""
+        from .core.encode import unpack_2bit_jnp
         spec = self.cfg.spec
+        codes = unpack_2bit_jnp(packed, self._read_len)
         P_i = lengths - spec.k + 1
         has_short = bool(((P_i > 0) & (P_i < spec.w)).any())
         if (self.cfg.use_kernel and self.cfg.mode == "minimizer"
@@ -182,8 +193,9 @@ class Engine:
 
     def count(self, fqb: Fqb) -> None:
         """Count pass: stream reads through the sketch into the count table."""
-        for codes, lengths, bcs in self._batches(fqb):
-            flat_h, flat_bc = self._sketch_flat(codes, lengths, bcs)
+        self._read_len = fqb.read_len
+        for packed, lengths, bcs in self._batches(fqb):
+            flat_h, flat_bc = self._sketch_flat(packed, lengths, bcs)
             self._ensure_table(flat_h.shape[0])
             if self.cfg.count_mode == "barcodes":
                 order = jnp.lexsort((flat_bc, flat_h))
@@ -251,9 +263,10 @@ class Engine:
         """Second pass: build the deduplicated k-mer x barcode incidence."""
         if self.retained_hashes is None:
             self.filter()
+        self._read_len = fqb.read_len
         ids_chunks, bc_chunks = [], []
-        for codes, lengths, bcs in self._batches(fqb):
-            flat_h, flat_bc = self._sketch_flat(codes, lengths, bcs)
+        for packed, lengths, bcs in self._batches(fqb):
+            flat_h, flat_bc = self._sketch_flat(packed, lengths, bcs)
             ids, _ = retained_lookup(self.retained_hashes, np.asarray(flat_h))
             ids_chunks.append(ids)
             bc_chunks.append(np.asarray(flat_bc))

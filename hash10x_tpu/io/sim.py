@@ -59,34 +59,32 @@ def simulate(cfg: SimConfig) -> SimResult:
     haps = [g0] if g1 is None else [g0, g1]
 
     n_mol = cfg.n_barcodes * cfg.molecules_per_barcode
-    n_reads = n_mol * cfg.reads_per_molecule
+    rpm = cfg.reads_per_molecule
+    n_reads = n_mol * rpm
     # distinct random 16bp barcodes
     bc_keys = rng.choice(1 << 32, size=cfg.n_barcodes, replace=False).astype(np.uint32)
 
-    codes = np.empty((n_reads, cfg.read_len), np.uint8)
-    read_bc = np.empty(n_reads, np.uint32)
-    truth_mol = np.empty(n_reads, np.int32)
-    spans = np.empty((n_mol, 3), np.int32)
-
     mol_len = min(cfg.molecule_len, cfg.genome_len)
-    r = 0
-    for m in range(n_mol):
-        bc = m // cfg.molecules_per_barcode
-        hap = int(rng.integers(0, len(haps)))
-        start = int(rng.integers(0, cfg.genome_len - mol_len + 1))
-        spans[m] = (hap, start, start + mol_len)
-        genome = haps[hap]
-        for _ in range(cfg.reads_per_molecule):
-            p = start + int(rng.integers(0, mol_len - cfg.read_len + 1))
-            seq = genome[p:p + cfg.read_len].copy()
-            if cfg.error_rate > 0:
-                errs = rng.random(cfg.read_len) < cfg.error_rate
-                seq[errs] = (seq[errs] + rng.integers(1, 4, size=int(errs.sum()))) % 4
-            codes[r] = seq
-            read_bc[r] = bc_keys[bc]
-            truth_mol[r] = m
-            r += 1
+    # fully vectorized sampling (the scalar loop took minutes at lane scale)
+    hap_of_mol = rng.integers(0, len(haps), size=n_mol).astype(np.int32)
+    mol_start = rng.integers(0, cfg.genome_len - mol_len + 1,
+                             size=n_mol).astype(np.int64)
+    spans = np.stack([hap_of_mol, mol_start.astype(np.int32),
+                      (mol_start + mol_len).astype(np.int32)], axis=1)
 
+    read_off = rng.integers(0, mol_len - cfg.read_len + 1,
+                            size=(n_mol, rpm)).astype(np.int64)
+    read_start = (mol_start[:, None] + read_off).reshape(-1)
+    win = read_start[:, None] + np.arange(cfg.read_len)
+    stacked = np.stack(haps)                                  # (n_haps, G)
+    codes = stacked[np.repeat(hap_of_mol, rpm)[:, None], win].astype(np.uint8)
+    if cfg.error_rate > 0:
+        errs = rng.random(codes.shape) < cfg.error_rate
+        shift = rng.integers(1, 4, size=codes.shape).astype(np.uint8)
+        codes = np.where(errs, (codes + shift) % 4, codes)
+
+    truth_mol = np.repeat(np.arange(n_mol, dtype=np.int32), rpm)
+    read_bc = bc_keys[np.repeat(np.arange(n_mol) // cfg.molecules_per_barcode, rpm)]
     lengths = np.full(n_reads, cfg.read_len, np.int32)
     batch = ReadBatch(codes=codes, lengths=lengths, barcodes=read_bc)
     return SimResult(reads=batch, barcode_keys=read_bc, truth_molecule=truth_mol,

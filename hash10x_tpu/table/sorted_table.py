@@ -77,9 +77,11 @@ def make_sorted_table(capacity: int, buf_capacity: int) -> SortedTable:
     )
 
 
-@functools.partial(jax.jit, donate_argnums=0, static_argnames=("offset",))
-def _buf_write(buf: jnp.ndarray, emissions: jnp.ndarray, offset: int) -> jnp.ndarray:
-    return jax.lax.dynamic_update_slice(buf, emissions, (offset,))
+@functools.partial(jax.jit, donate_argnums=0)
+def _buf_write(buf: jnp.ndarray, emissions: jnp.ndarray, offset) -> jnp.ndarray:
+    # offset is a traced scalar: a static offset would force one XLA compile per
+    # distinct buffer position (a remote-compile storm at scale)
+    return jax.lax.dynamic_update_slice(buf, emissions, (jnp.int32(offset),))
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
