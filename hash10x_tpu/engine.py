@@ -40,7 +40,24 @@ from .cluster import cooccur
 from .io.fqb import Fqb
 from .utils.timing import StageTimer
 
-__all__ = ["Engine", "EngineConfig"]
+__all__ = ["Engine", "EngineConfig", "coverage_peaks"]
+
+
+def coverage_peaks(hist: np.ndarray, min_frac: float = 0.05):
+    """Local maxima of the (lightly smoothed) count histogram — the coverage
+    peaks the reference prints to guide band selection (error / het / hom /
+    repeat — SURVEY.md §3.1 #7).  Returns [(count, height)] by count."""
+    h = hist.astype(np.float64)
+    if len(h) < 4:
+        return []
+    sm = h.copy()
+    sm[1:-1] = (h[:-2] + 2 * h[1:-1] + h[2:]) / 4.0
+    peaks = []
+    hi = sm[1:].max() if len(sm) > 1 else 0
+    for c in range(2, len(sm) - 1):
+        if sm[c] >= sm[c - 1] and sm[c] > sm[c + 1] and sm[c] >= min_frac * hi:
+            peaks.append((c, int(hist[c])))
+    return peaks
 
 
 @dataclass
@@ -177,7 +194,8 @@ class Engine:
                     f"count table spilled {int(np.asarray(t.spilled))} kmers; "
                     "raise --tableBits")
             if int(np.asarray(t.n_filled)) > 0.75 * t.capacity:
-                t = st.grow(t, t.capacity * 2)
+                t = st.grow(t, t.capacity * 2,
+                            buf_capacity=max(t.buf.shape[0], t.capacity))
                 if self.timer.log is not None:
                     self.timer.log.write(
                         f"[table grown to {t.capacity} entries]\n")
@@ -231,6 +249,8 @@ class Engine:
         nz = np.nonzero(hist)[0]
         if len(nz):
             out.write(f"count range [{nz.min()}, {nz.max()}] distinct kmers {total}\n")
+        for c, h in coverage_peaks(hist):
+            out.write(f"peak count {c} kmers {h}\n")
 
     def write_histogram(self, out=sys.stdout, max_count: int = 256) -> None:
         hist = self.histogram(max_count)

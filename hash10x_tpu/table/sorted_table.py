@@ -137,10 +137,12 @@ def merge_counts(t: SortedTable, other_h, other_w) -> SortedTable:
     return SortedTable(h, c, t.buf, 0, t.spilled + spilled_now)
 
 
-def grow(t: SortedTable, new_capacity: int) -> SortedTable:
-    """Re-house the table in a larger capacity (host-triggered on high water)."""
+def grow(t: SortedTable, new_capacity: int, buf_capacity: int = 0) -> SortedTable:
+    """Re-house the table in a larger capacity (host-triggered on high water).
+    Growing the buffer alongside keeps the amortized flush-sort cost per
+    appended element bounded (~2x) as the table outgrows the buffer."""
     t = flush(t)
-    nt = make_sorted_table(new_capacity, t.buf.shape[0])
+    nt = make_sorted_table(new_capacity, buf_capacity or t.buf.shape[0])
     nt = merge_counts(nt, t.hashes, t.counts)
     return SortedTable(nt.hashes, nt.counts, nt.buf, 0, t.spilled + nt.spilled)
 
