@@ -21,6 +21,7 @@ Parameters (take effect for later commands):
   --clusterMode <pair|friend>
   --countMode <barcodes|occurrences>
   --batchReads <n>
+  --shards <n>         shard the count pass over n mesh devices
   -t <n>               thread count (accepted for compatibility; device batching
                        replaces host threads)
 
@@ -74,6 +75,7 @@ class _State:
         self.count_mode = "barcodes"
         self.batch_reads = 4096
         self.syncmer_s = 0
+        self.n_shards = 1
         self.metrics_path = None
         self.engine: Optional[Engine] = None
         self.fqb = None
@@ -87,7 +89,8 @@ class _State:
                 batch_reads=self.batch_reads, count_mode=self.count_mode,
                 min_count=self.min_count, max_count=self.max_count,
                 cluster_mode=self.cluster_mode, min_share=self.min_share,
-                min_friend_share=self.min_friend_share, syncmer_s=self.syncmer_s)
+                min_friend_share=self.min_friend_share, syncmer_s=self.syncmer_s,
+                n_shards=self.n_shards)
             self.engine = Engine(cfg, log=self.err)
             if self.metrics_path:
                 from ..utils.timing import StageTimer
@@ -164,6 +167,8 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             st.count_mode = need(1, a)[0]
         elif a == "--batchReads":
             st.batch_reads = int(need(1, a)[0])
+        elif a == "--shards":
+            st.n_shards = int(need(1, a)[0])
         elif a == "--metrics":
             st.metrics_path = need(1, a)[0]
         elif a == "-t":

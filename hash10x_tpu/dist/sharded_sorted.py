@@ -81,13 +81,22 @@ def _make_flush(mesh: Mesh):
 
 def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
                            modulus: int = 0, lane_capacity: int = 0,
-                           use_kernel: bool = False):
+                           use_kernel: bool = False, packed_read_len: int = 0,
+                           count_mode: str = "occurrences",
+                           emission_cap_factor: int = 4):
     """Sharded count step over sorted tables.
 
-    Returns ``step(table, codes, lengths, bcs) -> table`` where codes (B, L) is
-    batch-sharded over the mesh.  Each device sketches, buckets emissions by
-    owner shard, one all_to_all delivers them, and the receiver appends to its
-    buffer (flushing shard-parallel when full).
+    Returns ``step(table, codes, lengths, bcs) -> table`` where codes (B, L) —
+    or 2-bit packed (B, W) rows when ``packed_read_len`` is set — is
+    batch-sharded over the mesh.  Each device sketches (optionally compacting
+    emissions per read), buckets emissions by owner shard, one all_to_all
+    delivers them, and the receiver appends to its buffer (flushing
+    shard-parallel when full).
+
+    count_mode="barcodes": (hash, barcode) pairs are routed together and
+    deduplicated *at the owner shard* — exact even when a barcode's reads are
+    split across devices (local pre-routing dedup would undercount there);
+    exactness across batches relies on barcode-aligned batching (engine).
     """
     n = mesh.devices.size
     shard_mask = jnp.uint64(n - 1)
@@ -99,52 +108,95 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             return minimizer_pallas.sketch_minimizer(spec, codes, lengths)
         return seqhash_jnp.sketch(spec, codes, lengths, mode=mode, m=modulus)
 
+    def emissions_of(codes, lengths, bcs):
+        """-> (flat_h, flat_bc, cap_overflow) with per-read compaction."""
+        h, _, emit = sketch(codes, lengths)
+        Pp = h.shape[1]
+        keyed = jnp.where(emit, h, _U64MAX)
+        cf = emission_cap_factor
+        if cf and mode == "minimizer" and spec.w > 1:
+            cap_r = min(Pp, cf * (2 * Pp // (spec.w + 1)) + cf)
+            # carry the (constant-per-row) barcode through the row sort
+            packed = jnp.sort(keyed, axis=1)[:, :cap_r]
+            over = jnp.sum(emit.sum(axis=1) > cap_r).astype(jnp.uint32)
+            fb = jnp.broadcast_to(bcs[:, None], (bcs.shape[0], cap_r))
+            return packed.reshape(-1), fb.reshape(-1), over
+        fb = jnp.broadcast_to(bcs[:, None], (bcs.shape[0], Pp))
+        return keyed.reshape(-1), fb.reshape(-1), jnp.uint32(0)
+
+    def lane_cap(E):
+        return lane_capacity or max(int(4 * E // max(n, 1)), 8)
+
     def step_body(buf, drops, codes, lengths, bcs, offset):
         buf, drops = buf[0], drops[0]
-        h, _, emit = sketch(codes, lengths)
-        flat_h = jnp.where(emit, h, _U64MAX).reshape(-1)
+        if packed_read_len:
+            from ..core.encode import unpack_2bit_jnp
+            codes = unpack_2bit_jnp(codes, packed_read_len)
+        flat_h, flat_bc, cap_over = emissions_of(codes, lengths, bcs)
         E = flat_h.shape[0]
-        cap = lane_capacity or max(int(4 * E // max(n, 1)), 8)
+        cap = lane_cap(E)
         dest = jnp.where(flat_h != _U64MAX,
                          (flat_h & shard_mask).astype(jnp.int32), n)
         order = jnp.argsort(dest, stable=True)
-        hs, ds = flat_h[order], dest[order]
+        hs, ds, bs = flat_h[order], dest[order], flat_bc[order]
         pos = jnp.arange(E, dtype=jnp.int32) - jnp.searchsorted(
             ds, ds, side="left").astype(jnp.int32)
         lane_ok = (ds < n) & (pos < cap)
         row = jnp.where(lane_ok, ds, n)
         send = jnp.full((n, cap), _U64MAX, jnp.uint64)
         send = send.at[row, pos].set(hs, mode="drop")
-        n_dropped = jnp.sum((ds < n) & ~lane_ok).astype(jnp.uint32)
+        n_dropped = jnp.sum((ds < n) & ~lane_ok).astype(jnp.uint32) + cap_over
+        if count_mode == "barcodes":
+            send_bc = jnp.full((n, cap), -1, jnp.int32)
+            send_bc = send_bc.at[row, pos].set(bs, mode="drop")
         if n > 1:
             recv = jax.lax.all_to_all(send, "d", split_axis=0, concat_axis=0,
                                       tiled=True)
+            if count_mode == "barcodes":
+                recv_bc = jax.lax.all_to_all(send_bc, "d", split_axis=0,
+                                             concat_axis=0, tiled=True)
         else:
             recv = send
-        buf = jax.lax.dynamic_update_slice(buf, recv.reshape(-1), (offset,))
+            if count_mode == "barcodes":
+                recv_bc = send_bc
+        flat = recv.reshape(-1)
+        if count_mode == "barcodes":
+            # owner-side (hash, barcode) dedup: exact for split barcodes
+            fb = recv_bc.reshape(-1)
+            o2 = jnp.lexsort((fb, flat))
+            hs2, bs2 = flat[o2], fb[o2]
+            first = jnp.concatenate([jnp.ones((1,), bool),
+                                     (hs2[1:] != hs2[:-1]) | (bs2[1:] != bs2[:-1])])
+            first = first & (bs2 >= 0) & (hs2 != _U64MAX)
+            flat = jnp.where(first, hs2, _U64MAX)
+        buf = jax.lax.dynamic_update_slice(buf, flat, (jnp.int32(offset),))
         return buf[None], (drops + n_dropped)[None]
 
     step_jit = jax.jit(jax.shard_map(
         step_body, mesh=mesh,
-        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), None),
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P()),
         out_specs=(P("d"), P("d")),
         check_vma=False),
-        donate_argnums=(0, 1), static_argnums=5)
+        donate_argnums=(0, 1))
 
     def recv_width(batch_reads, read_len):
-        E = (batch_reads // n) * (read_len - spec.k + 1)
-        cap = lane_capacity or max(int(4 * E // max(n, 1)), 8)
-        return n * cap
+        Pp = read_len - spec.k + 1
+        cf = emission_cap_factor
+        if cf and mode == "minimizer" and spec.w > 1:
+            Pp = min(Pp, cf * (2 * Pp // (spec.w + 1)) + cf)
+        E = (batch_reads // n) * Pp
+        return n * lane_cap(E)
 
     def apply(t: ShardedSortedTable, codes, lengths, bcs) -> ShardedSortedTable:
-        width = recv_width(codes.shape[0], codes.shape[1])
+        L = packed_read_len or codes.shape[1]
+        width = recv_width(codes.shape[0], L)
         if t.buf_n + width > t.buf_capacity:
             (t.hashes, t.counts, t.buf, sp) = flush_fn(t.hashes, t.counts, t.buf)
             t.spilled = t.spilled + sp
             t.buf_n = 0
         (t.buf, t.route_drops) = step_jit(
             t.buf, t.route_drops, jnp.asarray(codes), jnp.asarray(lengths),
-            jnp.asarray(bcs), t.buf_n)
+            jnp.asarray(bcs), jnp.int32(t.buf_n))
         t.buf_n += width
         return t
 
@@ -156,6 +208,7 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         return t
 
     apply.finish = finish
+    apply.recv_width = recv_width
     return apply
 
 

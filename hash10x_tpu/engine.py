@@ -78,6 +78,9 @@ class EngineConfig:
     use_kernel: bool = True          # Pallas sketch kernel when shapes allow
     emission_cap_factor: int = 4     # per-read emission cap = factor * expected
                                      # (0 disables compaction); overflow raises
+    n_shards: int = 1                # >1: count pass runs sharded over a device
+                                     # mesh (dist/sharded_sorted); downstream
+                                     # commands consume the gathered table
 
 
 class Engine:
@@ -211,6 +214,8 @@ class Engine:
 
     def count(self, fqb: Fqb) -> None:
         """Count pass: stream reads through the sketch into the count table."""
+        if self.cfg.n_shards > 1:
+            return self._count_sharded(fqb)
         self._read_len = fqb.read_len
         for packed, lengths, bcs in self._batches(fqb):
             flat_h, flat_bc = self._sketch_flat(packed, lengths, bcs)
@@ -235,6 +240,47 @@ class Engine:
         self.timer.stage(f"count: {self.n_reads_counted} reads, "
                          f"{int(np.asarray(t.n_filled))} kmers, "
                          f"spilled {int(np.asarray(t.spilled))}")
+
+    def _count_sharded(self, fqb: Fqb) -> None:
+        """Sharded count pass (SURVEY.md §3.2): DP read batches over the mesh,
+        all_to_all emission routing to hash-owner shards, shard-parallel sorted
+        flushes; the gathered global table feeds the unchanged downstream
+        commands."""
+        from .dist import sharded as D
+        from .dist import sharded_sorted as DS
+        cfg = self.cfg
+        if cfg.batch_reads % cfg.n_shards:
+            raise ValueError("batch_reads must be divisible by n_shards")
+        self._read_len = fqb.read_len
+        mesh = D.make_mesh(cfg.n_shards)
+        cap = max((1 << cfg.table_bits) // cfg.n_shards, 1 << 14)
+        step = DS.make_sorted_count_step(
+            cfg.spec, mesh, mode=cfg.mode, modulus=cfg.modulus,
+            use_kernel=cfg.use_kernel, packed_read_len=fqb.read_len,
+            count_mode=cfg.count_mode,
+            emission_cap_factor=cfg.emission_cap_factor)
+        # per-shard buffer must hold at least a few steps' received lanes
+        width = step.recv_width(cfg.batch_reads, fqb.read_len)
+        dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
+                                   spec=cfg.spec)
+        for packed, lengths, bcs in self._batches(fqb):
+            dt = step(dt, packed, lengths, bcs)
+            self.n_reads_counted += int((lengths > 0).sum())
+        dt = step.finish(dt)
+        drops = int(np.asarray(dt.route_drops).sum())
+        if drops:
+            raise RuntimeError(f"sharded count dropped {drops} emissions "
+                               "(lane/cap overflow); raise lane capacity")
+        if int(np.asarray(dt.spilled).sum()):
+            raise RuntimeError("sharded table spilled; raise --tableBits")
+        gh, gc = DS.gather_sorted_compact(dt)
+        need = 1 << max(int(len(gh)).bit_length(), 14)
+        self._ensure_table(1)
+        if self.table.capacity < need:
+            self.table = st.grow(self.table, need)
+        self.table = st.merge_counts(self._flushed(), gh, gc)
+        self.timer.stage(f"count[sharded x{cfg.n_shards}]: "
+                         f"{self.n_reads_counted} reads, {len(gh)} kmers")
 
     def histogram(self, max_count: int = 256) -> np.ndarray:
         t = self._flushed()

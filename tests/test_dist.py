@@ -174,3 +174,32 @@ def test_snapshot_restore_mesh_portable(tmp_path):
     with pytest.raises(ValueError):
         DS.load_snapshot(str(tmp_path / "snap"), mesh2,
                          expect_spec=HashSpec(k=19, w=5, seed=11))
+
+
+def test_engine_sharded_equals_single():
+    """Engine(n_shards=8) == Engine(n_shards=1) end-to-end (histogram,
+    retained set, cluster labels)."""
+    from hash10x_tpu.engine import Engine, EngineConfig
+    from hash10x_tpu.io import fqb as FB
+    from hash10x_tpu.io.sim import SimConfig, simulate
+    sim = simulate(SimConfig(genome_len=60_000, n_barcodes=24,
+                             molecules_per_barcode=2, molecule_len=5000,
+                             reads_per_molecule=30, read_len=120, seed=8))
+    fqb = FB.from_read_batch(sim.reads)
+    outs = []
+    for n in (1, 8):
+        eng = Engine(EngineConfig(spec=HashSpec(k=21, w=7, seed=17),
+                                  table_bits=18, batch_reads=512,
+                                  min_count=2, max_count=30,
+                                  min_friend_share=15, n_shards=n), log=None)
+        eng.count(fqb)
+        eng.filter()
+        eng.incidence(fqb)
+        eng.cluster()
+        outs.append(eng)
+    a, b = outs
+    assert (a.histogram(64) == b.histogram(64)).all()
+    assert (a.retained_hashes == b.retained_hashes).all()
+    assert (a.retained_counts == b.retained_counts).all()
+    for c in range(a.inc.n_codes):
+        assert a.clusters[c].tolist() == b.clusters[c].tolist()
