@@ -34,6 +34,8 @@ Commands (executed in order):
   --writeHash <out>    save table checkpoint
   --readHash <in>      load table checkpoint
   --errorFix <max>     drop error-band k-mers with count <= max
+  --writeCounts <f>    dump (hash, count) table as text (diffable vs oracle)
+  --writeClusters <f>  dump (code, kmer hash, cluster) assignments as text
   --metrics <file>     append per-command JSONL metrics
   --cluster | --codeClusters   count-band filter + incidence + per-barcode clusters
   --clusterSplit       remap (code, cluster) -> new molecule codes
@@ -198,6 +200,12 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             st.get_engine().load(need(1, a)[0])
         elif a == "--errorFix":
             st.get_engine().error_fix(int(need(1, a)[0]))
+        elif a == "--writeCounts":
+            with open(need(1, a)[0], "w") as f:
+                st.get_engine().write_counts(f)
+        elif a == "--writeClusters":
+            with open(need(1, a)[0], "w") as f:
+                st.get_engine().write_clusters(f)
         elif a in ("--cluster", "--codeClusters"):
             eng = st.get_engine()
             if st.fqb is None:

@@ -383,6 +383,25 @@ class Engine:
         self.split_origin = np.array(origin, np.int32).reshape(-1, 2)
         self.timer.stage(f"split: {next_code} molecule codes")
 
+    def write_counts(self, out=sys.stdout) -> None:
+        """Dump the full (hash, count) table as text, hash-ascending — the
+        diffable surface for oracle differential tests against the reference
+        binary (SURVEY.md §5 item 1)."""
+        h, c = st.compact(self._flushed())
+        for hv, cv in zip(h.tolist(), c.tolist()):
+            out.write(f"{hv:x}\t{cv}\n")
+
+    def write_clusters(self, out=sys.stdout) -> None:
+        """Dump cluster assignments: one line per (code, kmer hash, cluster)."""
+        if self.clusters is None:
+            raise RuntimeError("write_clusters requires clusters")
+        rh = self.retained_hashes
+        for c in range(self.inc.n_codes):
+            ks = self.inc.kmers_of(c)
+            cl = self.clusters[c]
+            for k, lab in zip(ks.tolist(), cl.tolist()):
+                out.write(f"{c}\t{rh[k]:x}\t{lab}\n")
+
     def report(self, out=sys.stdout) -> None:
         """Cluster report (``--clusterReport``): diffable text."""
         if self.clusters is None:

@@ -178,3 +178,62 @@ def test_metrics_jsonl(tmp_path):
     lines = [_json.loads(l) for l in m.read_text().splitlines()]
     assert any(l["stage"].startswith("count:") for l in lines)
     assert all("wall_s" in l and "max_rss_mb" in l for l in lines)
+
+
+def test_write_counts_and_clusters(tmp_path):
+    cf, clf = tmp_path / "counts.txt", tmp_path / "clusters.txt"
+    rc, out, err = run(["-k", "15", "-w", "5", "-B", "18",
+                        "--simulate", "genome_len=20000,n_barcodes=8,"
+                        "molecules_per_barcode=1,molecule_len=3000,"
+                        "reads_per_molecule=20,read_len=100,seed=9",
+                        "--writeCounts", str(cf),
+                        "--friendShare", "10", "--codeClusters",
+                        "--writeClusters", str(clf)])
+    assert rc == 0
+    counts = [l.split("\t") for l in cf.read_text().splitlines()]
+    hs = [int(h, 16) for h, _ in counts]
+    assert hs == sorted(hs) and len(hs) > 100
+    cl_lines = clf.read_text().splitlines()
+    assert len(cl_lines) > 100
+    code, h, lab = cl_lines[0].split("\t")
+    assert int(code) == 0 and int(lab) >= 0 and int(h, 16) in set(hs)
+
+
+def test_c_reference_differential(tmp_path):
+    """Oracle differential test (SURVEY.md §5 item 1): our device pipeline vs
+    the independent C implementation of the same contract."""
+    import shutil
+    import subprocess
+    if shutil.which("gcc") is None:
+        import pytest
+        pytest.skip("no gcc")
+    import numpy as np
+    from pathlib import Path
+    rng = np.random.default_rng(11)
+    n, L = 2000, 120
+    reads = rng.integers(0, 4, (n, L)).astype(np.uint8)
+    binp = tmp_path / "reads.bin"
+    with open(binp, "wb") as f:
+        np.array([n, L], np.uint32).tofile(f)
+        reads.tofile(f)
+    src = Path(__file__).resolve().parent.parent / "native" / "c_ref" / "hash10x_ref.c"
+    exe = tmp_path / "cref"
+    subprocess.run(["gcc", "-O2", "-o", str(exe), str(src)], check=True)
+    dump = tmp_path / "table.bin"
+    subprocess.run([str(exe), str(binp), "21", "11", "17", "18",
+                    "--dump", str(dump)], check=True, capture_output=True)
+    raw = dump.read_bytes()
+    m = int.from_bytes(raw[:8], "little")
+    c_h = np.frombuffer(raw[8:8 + 8 * m], np.uint64)
+    c_c = np.frombuffer(raw[8 + 8 * m:], np.uint32)
+
+    from hash10x_tpu.hashspec import HashSpec, U64MAX
+    from hash10x_tpu.core import seqhash_jnp as J
+    from hash10x_tpu.table import sorted_table as ST
+    spec = HashSpec(k=21, w=11, seed=17)
+    h, _, e = J.sketch(spec, reads, np.full(n, L, np.int32), mode="minimizer")
+    flat = np.where(np.asarray(e), np.asarray(h), U64MAX).reshape(-1)
+    t = ST.flush(ST.append(ST.make_sorted_table(1 << 18, 1 << 19), flat))
+    our_h, our_c = ST.compact(t)
+    assert (our_h == c_h).all()
+    assert (our_c == c_c).all()
