@@ -73,6 +73,7 @@ class _State:
         self.max_count = 64
         self.min_share = 2
         self.min_friend_share = 8
+        self.max_friends = 0
         self.cluster_mode = "friend"
         self.count_mode = "barcodes"
         self.batch_reads = 4096
@@ -92,7 +93,7 @@ class _State:
                 min_count=self.min_count, max_count=self.max_count,
                 cluster_mode=self.cluster_mode, min_share=self.min_share,
                 min_friend_share=self.min_friend_share, syncmer_s=self.syncmer_s,
-                n_shards=self.n_shards)
+                max_friends=self.max_friends, n_shards=self.n_shards)
             self.engine = Engine(cfg, log=self.err)
             if self.metrics_path:
                 from ..utils.timing import StageTimer
@@ -163,6 +164,8 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             st.min_share = int(need(1, a)[0])
         elif a == "--friendShare":
             st.min_friend_share = int(need(1, a)[0])
+        elif a == "--maxFriends":
+            st.max_friends = int(need(1, a)[0])
         elif a == "--clusterMode":
             st.cluster_mode = need(1, a)[0]
         elif a == "--countMode":

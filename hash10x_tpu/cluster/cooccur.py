@@ -165,6 +165,97 @@ def friend_union_batch(cl: jnp.ndarray, kmer_valid: jnp.ndarray,
     return jnp.where(kmer_valid, canon, -1)
 
 
+_BIG = np.int32(2**31 - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_codes", "thr", "C"))
+def _friend_pipeline_uncapped(kmer_ids, kmer_valid, self_codes, csr_codes,
+                              csr_off, csr_len, n_codes: int, thr: int, C: int):
+    """Uncapped friend clustering: min-label propagation THROUGH friend columns.
+
+    No explicit friend list is ever materialized: each iteration scatter-mins
+    k-mer labels into a (B, n_codes) column array, masks columns whose share
+    with this barcode is below ``thr`` (shares from one scatter-add), and
+    gathers the column minima back through each k-mer's barcode list.  Cost per
+    iteration is linear in sum of list lengths — no top_k/full-row sorts (which
+    made the capped path slower than host extraction at 50k barcodes).
+
+    Semantics = ``cluster_barcode_friend`` with no max_friends cap.
+    """
+    B, K = kmer_ids.shape
+    kid = jnp.maximum(kmer_ids, 0)
+    off = csr_off[kid]
+    ll = csr_len[kid]
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (B, K, C), 2)
+    ok = (c_iota < ll[:, :, None]) & (kmer_ids >= 0)[:, :, None]
+    idx = jnp.minimum(off[:, :, None] + c_iota, csr_codes.shape[0] - 1)
+    cl = jnp.where(ok, csr_codes[idx], -1)
+
+    share = shares_batch(cl, self_codes, n_codes)          # (B, n_codes)
+    friend_col = share >= thr
+
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, K, C), 0)
+    cl_safe = jnp.where(ok, cl, 0)
+    valid = kmer_valid
+    init = jnp.where(valid, jax.lax.broadcasted_iota(jnp.int32, (B, K), 1), K)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        lab, _ = state
+        colmin = jnp.full((B, n_codes), _BIG, jnp.int32)
+        lab_bc = jnp.broadcast_to(lab[:, :, None], (B, K, C))
+        colmin = colmin.at[b_idx, cl_safe].min(
+            jnp.where(ok, lab_bc, _BIG))
+        colmin = jnp.where(friend_col, colmin, _BIG)
+        back = jnp.min(jnp.where(ok, colmin[b_idx, cl_safe], _BIG), axis=2)
+        new = jnp.minimum(lab, jnp.where(valid, jnp.minimum(back, K), K))
+        return (new, jnp.any(new != lab))
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+
+    lab_s = jnp.sort(jnp.where(valid, labels, _BIG), axis=1)
+    is_first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), lab_s[:, 1:] != lab_s[:, :-1]], axis=1)
+    is_first = is_first & (lab_s != _BIG)
+    below = (lab_s[:, None, :] < labels[:, :, None]) & is_first[:, None, :]
+    canon = jnp.sum(below, axis=2).astype(jnp.int32)
+    return jnp.where(valid, canon, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_codes", "thr", "max_friends", "C"))
+def _friend_pipeline(kmer_ids, kmer_valid, self_codes, csr_codes, csr_off,
+                     csr_len, n_codes: int, thr: int, max_friends: int, C: int):
+    """Fully device-resident friend clustering for one padded batch.
+
+    kmer_ids (B, K) int32 (-1 pad); csr_* = device copies of the inverted
+    incidence (codes-per-kmer lists).  Assembles CL by gather, computes barcode
+    shares, extracts top-(thr, max_friends) friends with a packed-key top_k
+    (ordering = (-share, smaller id), the ``cluster_barcode_friend`` rule), and
+    label-propagates — only the (B, K) labels ever return to the host.
+    """
+    B, K = kmer_ids.shape
+    kid = jnp.maximum(kmer_ids, 0)
+    off = csr_off[kid]                                   # (B, K)
+    ll = csr_len[kid]
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (B, K, C), 2)
+    ok = (c_iota < ll[:, :, None]) & (kmer_ids >= 0)[:, :, None]
+    idx = jnp.minimum(off[:, :, None] + c_iota, csr_codes.shape[0] - 1)
+    cl = jnp.where(ok, csr_codes[idx], -1)
+
+    share = shares_batch(cl, self_codes, n_codes)        # (B, n_codes)
+    iota_n = jax.lax.broadcasted_iota(jnp.int64, (B, n_codes), 1)
+    key = share.astype(jnp.int64) * jnp.int64(n_codes) + (
+        jnp.int64(n_codes - 1) - iota_n)
+    topv, _ = jax.lax.top_k(key, min(max_friends, n_codes))
+    top_share = (topv // jnp.int64(n_codes)).astype(jnp.int32)
+    top_id = (jnp.int64(n_codes - 1) - (topv % jnp.int64(n_codes))).astype(jnp.int32)
+    friends = jnp.where(top_share >= thr, top_id, -1)
+
+    return friend_union_batch(cl, kmer_valid, friends)
+
+
 def _size_class(n: int) -> int:
     c = 8
     while c < n:
@@ -222,6 +313,12 @@ def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
         kc = _size_class(int(sizes[code]))
         classes.setdefault(kc, []).append(int(code))
 
+    if mode == "friend":
+        # device-resident inverted CSR (gathered on device per batch)
+        csr_codes = jnp.asarray(inc.kmer_codes, jnp.int32)
+        csr_off = jnp.asarray(inc.kmer_offsets[:-1], jnp.int32)
+        csr_len = jnp.asarray(list_lens, jnp.int32)
+
     for kc, codes_in_class in sorted(classes.items()):
         cmax = 1
         for code in codes_in_class:
@@ -240,33 +337,42 @@ def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
         for i in range(0, len(codes_in_class), bsz):
             chunk = codes_in_class[i:i + bsz]
             B = len(chunk)
-            cl = np.full((B, kc, cc), -1, np.int32)
-            valid = np.zeros((B, kc), bool)
-            # vectorized CSR expansion (a python loop here is O(sum K_c * C) —
-            # minutes at 50k barcodes)
             chunk_arr = np.asarray(chunk)
             ks_counts = sizes[chunk_arr]
             bi_of_k = np.repeat(np.arange(B), ks_counts)
             ki_of_k = np.arange(int(ks_counts.sum())) - np.repeat(
                 np.cumsum(ks_counts) - ks_counts, ks_counts)
-            valid[bi_of_k, ki_of_k] = True
             kmer_flat = np.concatenate(
                 [inc.kmers_of(c) for c in chunk]) if B else np.zeros(0, np.int64)
-            ll = list_lens[kmer_flat]                       # per-kmer list length
-            total = int(ll.sum())
-            row_of = np.repeat(np.arange(len(kmer_flat)), ll)
-            col_of = np.arange(total) - np.repeat(np.cumsum(ll) - ll, ll)
-            src = inc.kmer_codes[np.repeat(inc.kmer_offsets[kmer_flat], ll)
-                                 + col_of]
-            cl[bi_of_k[row_of], ki_of_k[row_of], col_of] = src
-            if mode == "pair":
+            if mode == "friend":
+                # assemble only the (B, K) kmer-id matrix on host; CL is
+                # gathered on device (the (B, K, C) host transfer dominated
+                # cluster wall time at 50k barcodes)
+                km = np.full((B, kc), -1, np.int32)
+                km[bi_of_k, ki_of_k] = kmer_flat.astype(np.int32)
+                valid = km >= 0
+                if max_friends:
+                    labels = np.asarray(_friend_pipeline(
+                        km, valid, chunk_arr.astype(np.int32), csr_codes,
+                        csr_off, csr_len, n_codes=inc.n_codes,
+                        thr=min_friend_share, max_friends=max_friends, C=cc))
+                else:
+                    labels = np.asarray(_friend_pipeline_uncapped(
+                        km, valid, chunk_arr.astype(np.int32), csr_codes,
+                        csr_off, csr_len, n_codes=inc.n_codes,
+                        thr=min_friend_share, C=cc))
+            elif mode == "pair":
+                cl = np.full((B, kc, cc), -1, np.int32)
+                valid = np.zeros((B, kc), bool)
+                valid[bi_of_k, ki_of_k] = True
+                ll = list_lens[kmer_flat]
+                total = int(ll.sum())
+                row_of = np.repeat(np.arange(len(kmer_flat)), ll)
+                col_of = np.arange(total) - np.repeat(np.cumsum(ll) - ll, ll)
+                src = inc.kmer_codes[np.repeat(inc.kmer_offsets[kmer_flat], ll)
+                                     + col_of]
+                cl[bi_of_k[row_of], ki_of_k[row_of], col_of] = src
                 labels = np.asarray(cluster_batch(cl, valid, min_share))
-            elif mode == "friend":
-                self_codes = np.array(chunk, np.int32)
-                share = np.asarray(shares_batch(cl, self_codes, inc.n_codes))
-                friends = _extract_friends(share, chunk, min_friend_share,
-                                           max_friends)
-                labels = np.asarray(friend_union_batch(cl, valid, friends))
             else:
                 raise ValueError(f"unknown cluster mode {mode!r}")
             for bi, code in enumerate(chunk):

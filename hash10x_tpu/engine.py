@@ -74,7 +74,7 @@ class EngineConfig:
     cluster_mode: str = "friend"     # friend (scalable) | pair (O(K^2) contract)
     min_share: int = 2               # pair mode: per-kmer-pair other-barcode support
     min_friend_share: int = 8        # friend mode: barcode-share threshold
-    max_friends: int = 256
+    max_friends: int = 0             # 0 = uncapped (scatter-propagation path)
     use_kernel: bool = True          # Pallas sketch kernel when shapes allow
     emission_cap_factor: int = 4     # per-read emission cap = factor * expected
                                      # (0 disables compaction); overflow raises

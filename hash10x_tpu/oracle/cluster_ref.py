@@ -102,7 +102,7 @@ def cluster_barcode_friend(kmer_ids: Sequence[int],
     share = barcode_shares(kmer_ids, hash_codes, self_code)
     friends = [c for c, s in share.items() if s >= min_friend_share]
     friends.sort(key=lambda c: (-share[c], c))
-    friend_set = set(friends[:max_friends])
+    friend_set = set(friends[:max_friends] if max_friends > 0 else friends)
 
     k = len(kmer_ids)
     parent = list(range(k))

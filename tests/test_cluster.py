@@ -164,3 +164,13 @@ def test_engine_determinism_across_batch_sizes():
     assert (a.retained_counts == b.retained_counts).all()
     for c in range(a.inc.n_codes):
         assert a.clusters[c].tolist() == b.clusters[c].tolist()
+
+
+@pytest.mark.parametrize("thr,density", [(1, 0.12), (2, 0.2)])
+def test_friend_uncapped_matches_oracle(rng, thr, density):
+    inc = random_incidence(rng, n_kmers=50, n_codes=24, density=density)
+    got = cooccur.cluster_codes(inc, mode="friend", min_friend_share=thr,
+                                max_friends=0)
+    expect = oracle_labels_friend(inc, thr, max_friends=0)
+    for c in range(inc.n_codes):
+        assert got[c].tolist() == expect[c], f"code {c}"
