@@ -79,17 +79,17 @@ def test_cluster_size_classes(rng):
         assert gotf[c].tolist() == expectf[c], f"friend code {c}"
 
 
-def _sim_engine(seed=0, min_share=2, n_barcodes=300):
+def _sim_engine(seed=0, min_share=2, n_barcodes=160):
     # The co-occurrence method needs bridge-rarity: the chance another barcode
     # covers BOTH of this barcode's molecules is ~cov^2 / n_barcodes (SURVEY.md §1)
-    # — here ~7.5^2/300 = 0.19, the realistic sparse-bridging regime.
+    # — here ~4^2/160 = 0.1, the realistic sparse-bridging regime.
     sim = simulate(SimConfig(genome_len=400_000, n_barcodes=n_barcodes,
                              molecules_per_barcode=2, molecule_len=5000,
-                             reads_per_molecule=40, read_len=120, seed=seed))
+                             reads_per_molecule=35, read_len=120, seed=seed))
     fqb = FB.from_read_batch(sim.reads)
     cfg = EngineConfig(spec=HashSpec(k=21, w=7, seed=17), table_bits=20,
                        batch_reads=2048, min_count=2, max_count=24,
-                       min_share=min_share, min_friend_share=30)
+                       min_share=min_share, min_friend_share=25)
     eng = Engine(cfg, log=None)
     eng.count(fqb)
     eng.filter()
@@ -98,10 +98,17 @@ def _sim_engine(seed=0, min_share=2, n_barcodes=300):
     return sim, fqb, eng
 
 
-def test_engine_end_to_end_recovers_molecules():
+@pytest.fixture(scope="module")
+def sim_eng():
+    """One shared sim+engine run for the three end-to-end assertions below
+    (each run costs minutes of jit compiles on the CPU test mesh)."""
+    return _sim_engine(seed=0)
+
+
+def test_engine_end_to_end_recovers_molecules(sim_eng):
     """Two well-separated molecules per barcode must split into (mostly) two
     clusters whose k-mers map back to distinct genome regions."""
-    sim, fqb, eng = _sim_engine()
+    sim, fqb, eng = sim_eng
     n_good = 0
     for c in range(eng.inc.n_codes):
         cl = eng.clusters[c]
@@ -119,16 +126,16 @@ def test_engine_end_to_end_recovers_molecules():
         f"only {n_good}/{n_codes} barcodes split into 2 molecules"
 
 
-def test_engine_cluster_labels_match_oracle():
-    sim, fqb, eng = _sim_engine(seed=1)
+def test_engine_cluster_labels_match_oracle(sim_eng):
+    sim, fqb, eng = sim_eng
     expect = oracle_labels_friend(eng.inc, eng.cfg.min_friend_share,
                                   eng.cfg.max_friends)
     for c in range(eng.inc.n_codes):
         assert eng.clusters[c].tolist() == expect[c], f"code {c}"
 
 
-def test_split_and_report():
-    sim, fqb, eng = _sim_engine(seed=2)
+def test_split_and_report(sim_eng):
+    sim, fqb, eng = sim_eng
     eng.split()
     # every split code's kmers are exactly one cluster of its origin code
     for nc in range(min(20, eng.split_inc.n_codes)):
