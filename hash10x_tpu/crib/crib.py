@@ -38,21 +38,27 @@ class Crib:
     labels: np.ndarray        # (n_kmers,) uint8
     hap_counts: np.ndarray    # (n_haps, n_kmers) uint32 genome multiplicity
     n_haps: int
+    positions: np.ndarray = None  # (n_kmers,) int64 hap1 first position, -1 absent
 
     def composition(self) -> np.ndarray:
         return np.bincount(self.labels, minlength=5)
 
 
-def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path
-                       ) -> np.ndarray:
+def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path,
+                       with_positions: bool = False):
     """Multiplicity of each retained k-mer in one genome FASTA (canonical hashes,
-    every k-mer position — the reference hashes whole genomes, not sketches)."""
+    every k-mer position — the reference hashes whole genomes, not sketches).
+    With ``with_positions``, also returns each k-mer's first position in the
+    concatenated-genome coordinate (-1 if absent) for contiguity reports."""
     counts = np.zeros(len(retained_hashes), np.uint32)
+    first_pos = np.full(len(retained_hashes), np.iinfo(np.int64).max, np.int64)
     k = spec.k
+    genome_off = 0
     for _, seq in fasta_records(path):
         codes = ascii_to_codes(seq)
         n = len(codes)
         if n < k:
+            genome_off += n
             continue
         step = _CHUNK - (k - 1)
         starts = list(range(0, max(n - k + 1, 1), step))
@@ -63,12 +69,23 @@ def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path
             rows[bi, :len(piece)] = piece
             lens[bi] = len(piece)
         h, _, valid = seqhash_jnp.kmer_grid(spec, rows, lens)
-        flat = np.where(np.asarray(valid), np.asarray(h), U64MAX).reshape(-1)
-        flat = flat[flat != U64MAX]
+        valid = np.asarray(valid)
+        flat = np.where(valid, np.asarray(h), U64MAX).reshape(-1)
+        keep = flat != U64MAX
+        flat = flat[keep]
         idx = np.searchsorted(retained_hashes, flat)
         idx_c = np.minimum(idx, len(retained_hashes) - 1)
         hit = (idx < len(retained_hashes)) & (retained_hashes[idx_c] == flat)
         np.add.at(counts, idx_c[hit], 1)
+        if with_positions:
+            P = valid.shape[1]
+            pos = (genome_off + np.asarray(starts)[:, None]
+                   + np.arange(P)[None, :]).reshape(-1)[keep]
+            np.minimum.at(first_pos, idx_c[hit], pos[hit])
+        genome_off += n
+    if with_positions:
+        first_pos[first_pos == np.iinfo(np.int64).max] = -1
+        return counts, first_pos
     return counts
 
 
@@ -77,8 +94,10 @@ def build_crib(spec: HashSpec, retained_hashes: np.ndarray,
     """Label retained k-mers against 1 or 2 haplotype FASTAs."""
     if not 1 <= len(paths) <= 2:
         raise ValueError("crib takes one or two haplotype FASTAs")
-    hap_counts = np.stack([genome_kmer_counts(spec, retained_hashes, p)
-                           for p in paths])
+    c0, positions = genome_kmer_counts(spec, retained_hashes, paths[0],
+                                       with_positions=True)
+    hap_counts = np.stack([c0] + [genome_kmer_counts(spec, retained_hashes, p)
+                                  for p in paths[1:]])
     n = len(retained_hashes)
     labels = np.full(n, ERR, np.uint8)
     if len(paths) == 2:
@@ -91,7 +110,8 @@ def build_crib(spec: HashSpec, retained_hashes: np.ndarray,
         c1 = hap_counts[0]
         labels[c1 == 1] = HOM
         labels[c1 > 1] = MUL
-    return Crib(labels=labels, hap_counts=hap_counts, n_haps=len(paths))
+    return Crib(labels=labels, hap_counts=hap_counts, n_haps=len(paths),
+                positions=positions)
 
 
 def crib_report(inc, clusters, crib: Crib, out=sys.stdout) -> None:
@@ -118,9 +138,18 @@ def crib_report(inc, clusters, crib: Crib, out=sys.stdout) -> None:
                 pstr = f"{purity:.3f}"
             else:
                 pstr = "-"
+            # contiguity: inner 80% span of member positions in hap1 (clean
+            # molecule clusters span ~one molecule length; merges span more)
+            span = "-"
+            if crib.positions is not None:
+                pp = crib.positions[ks]
+                pp = pp[pp >= 0]
+                if len(pp) >= 5:
+                    span = str(int(np.percentile(pp, 90) - np.percentile(pp, 10)))
             out.write(f"code {c} cluster {lab} n {len(ks)} "
                       f"hom {int(lc[HOM])} het1 {h1} het2 {h2} "
-                      f"mul {int(lc[MUL])} err {int(lc[ERR])} purity {pstr}\n")
+                      f"mul {int(lc[MUL])} err {int(lc[ERR])} purity {pstr} "
+                      f"span {span}\n")
     if total_het:
         out.write(f"crib overall purity {total_dom / total_het:.4f} "
                   f"over {total_het} het kmers\n")

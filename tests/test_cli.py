@@ -237,3 +237,28 @@ def test_c_reference_differential(tmp_path):
     our_h, our_c = ST.compact(t)
     assert (our_h == c_h).all()
     assert (our_c == c_c).all()
+
+
+def test_crib_contiguity_spans(tmp_path, rng):
+    """Crib report spans: clean molecule clusters span ~molecule_len."""
+    sim = simulate(SimConfig(genome_len=200_000, n_barcodes=100,
+                             molecules_per_barcode=2, molecule_len=4000,
+                             reads_per_molecule=40, read_len=120, seed=6))
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [codes_to_ascii(sim.genome)])
+    import hash10x_tpu.io.fqb as FB
+    fqb_path = str(tmp_path / "lane.fqb")
+    FB.save_fqb(fqb_path, FB.from_read_batch(sim.reads))
+    rc, out, err = run(["-k", "17", "-w", "7", "-B", "20",
+                        "--readFQB", fqb_path + ".npz", "--friendShare", "20",
+                        "--codeClusters", "--cribBuild", str(fa), "--cribReport"])
+    assert rc == 0
+    spans = []
+    for l in out.splitlines():
+        if " span " in l and not l.endswith("span -"):
+            n = int(l.split(" n ")[1].split()[0])
+            if n >= 100:  # real molecule clusters
+                spans.append(int(l.rsplit("span ", 1)[1]))
+    assert spans, "no spans reported"
+    med = sorted(spans)[len(spans) // 2]
+    assert 2000 < med < 6000, f"median span {med} not ~molecule_len"
