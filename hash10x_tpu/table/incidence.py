@@ -73,7 +73,15 @@ def build_incidence(kmer_ids: np.ndarray, codes: np.ndarray, n_kmers: int,
     k = kmer_ids[keep].astype(np.int64)
     c = codes[keep].astype(np.int64)
     pair = c * n_kmers + k                    # (code, kmer) major order
-    pair = np.unique(pair)
+    if len(pair) > (1 << 20):
+        # device sort + boundary dedup: np.unique over tens of millions of
+        # pairs dominated the incidence phase at 50k-barcode scale
+        import jax.numpy as jnp
+        dk = jnp.sort(jnp.asarray(pair.astype(np.uint64)))
+        first = jnp.concatenate([jnp.ones((1,), bool), dk[1:] != dk[:-1]])
+        pair = np.asarray(dk)[np.asarray(first)].astype(np.int64)
+    else:
+        pair = np.unique(pair)
     pc = (pair // n_kmers).astype(np.int32)
     pk = (pair % n_kmers).astype(np.int32)
 
