@@ -27,6 +27,7 @@ Parameters (take effect for later commands):
 
 Commands (executed in order):
   --readFastq <fq>     parse FASTQ (16bp GEM barcode prefix) and run the count pass
+  --readFastqPair <r1> <r2>   paired lane: R1 = barcode+genomic, R2 = genomic
   --readFQB <fqb>      load packed reads and run the count pass
   --writeFQB <out>     write the last-read lane as packed fqb
   --hashInfo           table summary to stdout
@@ -181,6 +182,10 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         # ---- commands ----
         elif a == "--readFastq":
             st.fqb = FB.fastq_to_fqb(need(1, a)[0])
+            st.get_engine().count(st.fqb)
+        elif a == "--readFastqPair":
+            r1, r2 = need(2, a)
+            st.fqb = FB.paired_fastq_to_fqb(r1, r2)
             st.get_engine().count(st.fqb)
         elif a == "--readFQB":
             st.fqb = FB.load_fqb(need(1, a)[0])

@@ -100,6 +100,43 @@ def from_packed(packed: np.ndarray, lengths: np.ndarray, barcode_keys: np.ndarra
                barcode_keys=uniq.astype(np.uint32), read_len=read_len)
 
 
+def paired_fastq_to_fqb(r1_path, r2_path, out_path=None, max_len: int = 0,
+                        prefer_native: bool = True) -> Fqb:
+    """Paired Chromium lane: R1 = 16bp GEM barcode + genomic, R2 = genomic.
+
+    R2 reads inherit their mate's barcode (same record order — the Chromium
+    demultiplexed-FASTQ contract, SURVEY.md §1); both mates' genomic sequence
+    lands in one Fqb so the k-mer x barcode table sees all bases.
+    """
+    f1 = fastq_to_fqb(r1_path, barcoded=True, max_len=max_len,
+                      prefer_native=prefer_native)
+    b2 = read_fastq(r2_path, max_len=max_len)
+    if len(b2) != len(f1):
+        raise ValueError(f"R1 has {len(f1)} records but R2 has {len(b2)}")
+    L = max(f1.read_len, b2.codes.shape[1])
+    from ..core.encode import pack_2bit
+    packed1 = f1.packed
+    if f1.read_len < L:
+        pad = np.zeros((len(f1), (L + 15) // 16 - packed1.shape[1]), np.uint32)
+        packed1 = np.concatenate([packed1, pad], axis=1)
+    packed2 = pack_2bit(b2.codes)
+    if packed2.shape[1] < packed1.shape[1]:
+        pad = np.zeros((len(b2), packed1.shape[1] - packed2.shape[1]), np.uint32)
+        packed2 = np.concatenate([packed2, pad], axis=1)
+    keys1 = np.where(f1.barcode_ids >= 0,
+                     f1.barcode_keys[np.maximum(f1.barcode_ids, 0)],
+                     _INVALID).astype(np.uint32)
+    fqb = from_packed(
+        np.concatenate([packed1, packed2]),
+        np.concatenate([f1.lengths, np.where(keys1 != _INVALID, b2.lengths, 0)
+                        .astype(np.int32)]),
+        np.concatenate([keys1, keys1]),
+        L)
+    if out_path is not None:
+        save_fqb(out_path, fqb)
+    return fqb
+
+
 def fastq_to_fqb(fastq_path, out_path=None, barcoded: bool = True,
                  max_len: int = 0, prefer_native: bool = True) -> Fqb:
     """FASTQ (R1 with leading 16bp GEM barcode if ``barcoded``) -> Fqb.

@@ -147,3 +147,34 @@ def test_native_loader_malformed(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         native_loader.load_fastq_native(p)
+
+
+def test_paired_fastq_to_fqb(tmp_path):
+    """R2 reads inherit R1's barcode; both mates' bases are counted."""
+    rng = np.random.default_rng(1)
+    bases = b"ACGT"
+    r1, r2 = [], []
+    bcs = []
+    for i in range(12):
+        bc = bytes(bases[b] for b in rng.integers(0, 4, 16))
+        bcs.append(bc)
+        s1 = bytes(bases[b] for b in rng.integers(0, 4, 60))
+        s2 = bytes(bases[b] for b in rng.integers(0, 4, 80))
+        r1.append((b"r%d" % i, bc + s1))
+        r2.append((b"r%d" % i, s2))
+    p1, p2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+    write_fastq(p1, r1)
+    write_fastq(p2, r2)
+    fqb = FB.paired_fastq_to_fqb(p1, p2)
+    assert len(fqb) == 24
+    # mates share barcodes
+    keys = fqb.barcode_keys[fqb.barcode_ids]
+    assert (keys[:12] == keys[12:]).all()
+    # R2 bases preserved
+    from hash10x_tpu.core.encode import codes_to_ascii
+    codes = fqb.codes()
+    got = bytes(codes_to_ascii(codes[12][:fqb.lengths[12]]))
+    assert got == r2[0][1].lower()
+    # R1 trimmed bases preserved
+    got1 = bytes(codes_to_ascii(codes[0][:fqb.lengths[0]]))
+    assert got1 == r1[0][1][16:].lower()
