@@ -99,6 +99,19 @@ class _State:
             if self.metrics_path:
                 from ..utils.timing import StageTimer
                 self.engine.timer = StageTimer(self.err, self.metrics_path)
+        else:
+            # the sequential command language allows tunables to change between
+            # commands ("parameters take effect for later commands"); sync them
+            # into the live engine so a flag after the first read command is
+            # never silently ignored (hash/table/count params stay guarded)
+            cfg = self.engine.cfg
+            cfg.min_count = self.min_count
+            cfg.max_count = self.max_count
+            cfg.min_share = self.min_share
+            cfg.min_friend_share = self.min_friend_share
+            cfg.max_friends = self.max_friends
+            cfg.cluster_mode = self.cluster_mode
+            cfg.batch_reads = self.batch_reads
         return self.engine
 
     def param_change_guard(self):
@@ -129,8 +142,6 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
 
     def need(n: int, flag: str) -> List[str]:
         nonlocal i
-        if i + n >= len(argv) + 0 and False:
-            pass
         if i + n > len(argv) - 1:
             raise SystemExit(f"{flag} requires {n} argument(s)")
         args = argv[i + 1:i + 1 + n]
@@ -149,13 +160,13 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         elif a in ("-B", "--tableBits"):
             st.param_change_guard(); st.table_bits = int(need(1, a)[0]); st.engine = None
         elif a == "--minimizer":
-            st.mode = "minimizer"
+            st.param_change_guard(); st.mode = "minimizer"; st.engine = None
         elif a == "--modimizer":
-            st.mode = "modimizer"
+            st.param_change_guard(); st.mode = "modimizer"; st.engine = None
         elif a == "--allKmers":
-            st.mode = "kmer"
+            st.param_change_guard(); st.mode = "kmer"; st.engine = None
         elif a == "--syncmer":
-            st.mode = "syncmer"
+            st.param_change_guard(); st.mode = "syncmer"; st.engine = None
             st.syncmer_s = int(need(1, a)[0])
         elif a == "--minCount":
             st.min_count = int(need(1, a)[0])
@@ -170,11 +181,13 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         elif a == "--clusterMode":
             st.cluster_mode = need(1, a)[0]
         elif a == "--countMode":
-            st.count_mode = need(1, a)[0]
+            st.param_change_guard(); st.count_mode = need(1, a)[0]
+            st.engine = None
         elif a == "--batchReads":
             st.batch_reads = int(need(1, a)[0])
         elif a == "--shards":
-            st.n_shards = int(need(1, a)[0])
+            st.param_change_guard(); st.n_shards = int(need(1, a)[0])
+            st.engine = None
         elif a == "--metrics":
             st.metrics_path = need(1, a)[0]
         elif a == "-t":

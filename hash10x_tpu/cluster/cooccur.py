@@ -263,26 +263,6 @@ def _size_class(n: int) -> int:
     return c
 
 
-def _extract_friends(share: np.ndarray, chunk, thr: int, max_friends: int
-                     ) -> np.ndarray:
-    """share (B, n_codes) -> padded friend ids (B, F), ordered by (-share, id),
-    capped at max_friends (the deterministic rule of ``cluster_barcode_friend``)."""
-    B = share.shape[0]
-    rows = []
-    fmax = 1
-    for b in range(B):
-        idx = np.nonzero(share[b] >= thr)[0]
-        if len(idx) > max_friends:
-            order = np.lexsort((idx, -share[b, idx]))
-            idx = idx[order[:max_friends]]
-        rows.append(np.sort(idx).astype(np.int32))
-        fmax = max(fmax, len(idx))
-    F = _size_class(fmax)
-    friends = np.full((B, F), -1, np.int32)
-    for b, r in enumerate(rows):
-        friends[b, :len(r)] = r
-    return friends
-
 
 def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
                   min_friend_share: int = 8, max_friends: int = 256,

@@ -53,21 +53,32 @@ def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path,
     counts = np.zeros(len(retained_hashes), np.uint32)
     first_pos = np.full(len(retained_hashes), np.iinfo(np.int64).max, np.int64)
     k = spec.k
+    step = _CHUNK - (k - 1)
+    ROWS = 32  # fixed batch height: one jit compile regardless of contig sizes
+
+    # gather chunk descriptors across all records, then process in fixed-shape
+    # row groups (per-record batches compiled once per distinct chunk count — a
+    # compile storm for draft assemblies with many contig lengths)
+    chunks = []  # (record codes, start, global genome offset of chunk)
     genome_off = 0
     for _, seq in fasta_records(path):
         codes = ascii_to_codes(seq)
         n = len(codes)
-        if n < k:
-            genome_off += n
-            continue
-        step = _CHUNK - (k - 1)
-        starts = list(range(0, max(n - k + 1, 1), step))
-        rows = np.full((len(starts), _CHUNK), 4, np.uint8)
-        lens = np.zeros(len(starts), np.int32)
-        for bi, s in enumerate(starts):
+        if n >= k:
+            for s in range(0, max(n - k + 1, 1), step):
+                chunks.append((codes, s, genome_off + s))
+        genome_off += n
+
+    for g in range(0, len(chunks), ROWS):
+        group = chunks[g:g + ROWS]
+        rows = np.full((ROWS, _CHUNK), 4, np.uint8)
+        lens = np.zeros(ROWS, np.int32)
+        offs = np.zeros(ROWS, np.int64)
+        for bi, (codes, s, goff) in enumerate(group):
             piece = codes[s:s + _CHUNK]
             rows[bi, :len(piece)] = piece
             lens[bi] = len(piece)
+            offs[bi] = goff
         h, _, valid = seqhash_jnp.kmer_grid(spec, rows, lens)
         valid = np.asarray(valid)
         flat = np.where(valid, np.asarray(h), U64MAX).reshape(-1)
@@ -79,10 +90,8 @@ def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path,
         np.add.at(counts, idx_c[hit], 1)
         if with_positions:
             P = valid.shape[1]
-            pos = (genome_off + np.asarray(starts)[:, None]
-                   + np.arange(P)[None, :]).reshape(-1)[keep]
+            pos = (offs[:, None] + np.arange(P)[None, :]).reshape(-1)[keep]
             np.minimum.at(first_pos, idx_c[hit], pos[hit])
-        genome_off += n
     if with_positions:
         first_pos[first_pos == np.iinfo(np.int64).max] = -1
         return counts, first_pos

@@ -86,18 +86,17 @@ def make_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     shard_bits = int(n - 1).bit_length()
     shard_mask = jnp.uint64(n - 1)
 
+    if count_mode != "occurrences":
+        # pre-routing (hash,barcode) dedup would miscount barcodes whose reads
+        # are DP-split across devices; the exact owner-side dedup lives in
+        # dist/sharded_sorted.make_sorted_count_step (the production path)
+        raise NotImplementedError(
+            "count_mode='barcodes' on the open-addressing shard path: use "
+            "dist.sharded_sorted.make_sorted_count_step")
+
     def local_sketch(codes, lengths, bcs):
         h, _, emit = seqhash_jnp.sketch(spec, codes, lengths, mode=mode, m=modulus)
-        Pp = h.shape[1]
         flat_h = jnp.where(emit, h, _U64MAX).reshape(-1)
-        flat_bc = jnp.broadcast_to(bcs[:, None], (bcs.shape[0], Pp)).reshape(-1)
-        if count_mode == "barcodes":
-            order = jnp.lexsort((flat_bc, flat_h))
-            hs, bs = flat_h[order], flat_bc[order]
-            first = jnp.concatenate([jnp.ones((1,), bool),
-                                     (hs[1:] != hs[:-1]) | (bs[1:] != bs[:-1])])
-            first = first & (bs >= 0) & (hs != _U64MAX)
-            return jnp.where(first, hs, _U64MAX), first.astype(jnp.uint32)
         w = (flat_h != _U64MAX).astype(jnp.uint32)
         return flat_h, w
 

@@ -121,6 +121,12 @@ class Engine:
                     jb -= 1
                 if jb > i:
                     j = jb
+                elif bc_all[j] != -1 and bc_all[i] == bc_all[j]:
+                    # one barcode fills the whole batch AND continues: splitting
+                    # it would break per-batch (hash,barcode) dedup silently
+                    raise RuntimeError(
+                        f"barcode id {int(bc_all[j])} has more than "
+                        f"{bsz} reads; raise --batchReads")
             i = j
             starts.append(i)
         W = packed_all.shape[1]
@@ -217,6 +223,7 @@ class Engine:
         if self.cfg.n_shards > 1:
             return self._count_sharded(fqb)
         self._read_len = fqb.read_len
+        self._cap_overflow = jnp.zeros((), jnp.int64)
         for packed, lengths, bcs in self._batches(fqb):
             flat_h, flat_bc = self._sketch_flat(packed, lengths, bcs)
             self._ensure_table(flat_h.shape[0])
@@ -330,12 +337,18 @@ class Engine:
         if self.retained_hashes is None:
             self.filter()
         self._read_len = fqb.read_len
+        self._cap_overflow = jnp.zeros((), jnp.int64)
         ids_chunks, bc_chunks = [], []
         for packed, lengths, bcs in self._batches(fqb):
             flat_h, flat_bc = self._sketch_flat(packed, lengths, bcs)
             ids, _ = retained_lookup(self.retained_hashes, np.asarray(flat_h))
             ids_chunks.append(ids)
             bc_chunks.append(np.asarray(flat_bc))
+        if int(np.asarray(self._cap_overflow)):
+            raise RuntimeError(
+                f"{int(np.asarray(self._cap_overflow))} reads exceeded the "
+                "per-read emission cap during incidence; raise "
+                "emission_cap_factor")
         self.inc = build_incidence(
             np.concatenate(ids_chunks), np.concatenate(bc_chunks),
             n_kmers=len(self.retained_hashes), n_codes=fqb.n_barcodes)

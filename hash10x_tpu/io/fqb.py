@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from ..core.encode import pack_2bit, unpack_2bit
-from .fastq import ReadBatch, read_fastq, extract_barcodes
+from .fastq import BARCODE_LEN, ReadBatch, read_fastq, extract_barcodes
 
 __all__ = ["Fqb", "save_fqb", "load_fqb", "fastq_to_fqb", "from_read_batch"]
 
@@ -53,12 +53,18 @@ class Fqb:
 
 
 def from_read_batch(batch: ReadBatch, barcodes: Optional[np.ndarray] = None) -> Fqb:
-    """Dense reads (+ per-read u32 barcode keys) -> Fqb with dense barcode ids."""
+    """Dense reads (+ per-read u32 barcode keys) -> Fqb with dense barcode ids.
+
+    Validity comes from length > 0, NOT from the 0xFFFFFFFF key value: every
+    32-bit value is a legitimate 16bp barcode (all-T packs to 0xFFFFFFFF), so
+    invalid-barcode reads are marked by the extractors zeroing their length."""
     n, L = batch.codes.shape
     keys = batch.barcodes if barcodes is None else barcodes
     if keys is None:
         keys = np.full(n, _INVALID, np.uint32)
-    valid = keys != _INVALID
+        valid = np.zeros(n, bool)  # no barcodes at all -> no barcode analysis
+    else:
+        valid = (batch.lengths > 0)
     uniq = np.unique(keys[valid])
     ids = np.full(n, -1, np.int32)
     ids[valid] = np.searchsorted(uniq, keys[valid]).astype(np.int32)
@@ -91,8 +97,9 @@ def load_fqb(path) -> Fqb:
 
 def from_packed(packed: np.ndarray, lengths: np.ndarray, barcode_keys: np.ndarray,
                 read_len: int) -> Fqb:
-    """Assemble an Fqb directly from packed parts (the native loader's output)."""
-    valid = barcode_keys != _INVALID
+    """Assemble an Fqb directly from packed parts (the native loader's output).
+    Validity = length > 0 (see from_read_batch: every u32 is a real barcode)."""
+    valid = np.asarray(lengths) > 0
     uniq = np.unique(barcode_keys[valid])
     ids = np.full(len(barcode_keys), -1, np.int32)
     ids[valid] = np.searchsorted(uniq, barcode_keys[valid]).astype(np.int32)
@@ -123,13 +130,12 @@ def paired_fastq_to_fqb(r1_path, r2_path, out_path=None, max_len: int = 0,
     if packed2.shape[1] < packed1.shape[1]:
         pad = np.zeros((len(b2), packed1.shape[1] - packed2.shape[1]), np.uint32)
         packed2 = np.concatenate([packed2, pad], axis=1)
-    keys1 = np.where(f1.barcode_ids >= 0,
-                     f1.barcode_keys[np.maximum(f1.barcode_ids, 0)],
-                     _INVALID).astype(np.uint32)
+    valid1 = f1.barcode_ids >= 0
+    keys1 = f1.barcode_keys[np.maximum(f1.barcode_ids, 0)].astype(np.uint32)
     fqb = from_packed(
         np.concatenate([packed1, packed2]),
-        np.concatenate([f1.lengths, np.where(keys1 != _INVALID, b2.lengths, 0)
-                        .astype(np.int32)]),
+        np.concatenate([f1.lengths,
+                        np.where(valid1, b2.lengths, 0).astype(np.int32)]),
         np.concatenate([keys1, keys1]),
         L)
     if out_path is not None:
@@ -153,7 +159,9 @@ def fastq_to_fqb(fastq_path, out_path=None, barcoded: bool = True,
             if out_path is not None:
                 save_fqb(out_path, fqb)
             return fqb
-    batch = read_fastq(fastq_path, max_len=max_len)
+    # max_len means post-barcode genomic length in both loader paths
+    raw_max = (max_len + BARCODE_LEN) if (barcoded and max_len) else max_len
+    batch = read_fastq(fastq_path, max_len=raw_max)
     if barcoded:
         _, batch = extract_barcodes(batch)
     fqb = from_read_batch(batch)

@@ -54,13 +54,14 @@ def retained_lookup(retained_hashes: np.ndarray, hashes: np.ndarray
     """Map hash values to canonical k-mer ids (rank in the sorted retained set).
 
     Returns (ids (…,) int32 with -1 for absent, found mask)."""
+    if len(retained_hashes) == 0:
+        z = np.full(hashes.shape, -1, np.int32)
+        return z, np.zeros(hashes.shape, bool)
     idx = np.searchsorted(retained_hashes, hashes)
-    idx_c = np.minimum(idx, len(retained_hashes) - 1) if len(retained_hashes) else idx * 0
-    found = len(retained_hashes) > 0
+    idx_c = np.minimum(idx, len(retained_hashes) - 1)
     found = (hashes != U64MAX) & (idx < len(retained_hashes)) & \
-            (retained_hashes[idx_c] == hashes if len(retained_hashes) else False)
-    ids = np.where(found, idx_c, -1).astype(np.int32)
-    return ids, found
+            (retained_hashes[idx_c] == hashes)
+    return np.where(found, idx_c, -1).astype(np.int32), found
 
 
 def build_incidence(kmer_ids: np.ndarray, codes: np.ndarray, n_kmers: int,

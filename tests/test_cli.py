@@ -262,3 +262,22 @@ def test_crib_contiguity_spans(tmp_path, rng):
     assert spans, "no spans reported"
     med = sorted(spans)[len(spans) // 2]
     assert 2000 < med < 6000, f"median span {med} not ~molecule_len"
+
+
+def test_param_flags_apply_after_data():
+    """Regression: tunable flags placed after a read command must take effect
+    (the sequential command language contract)."""
+    sim_args = ["--simulate", "genome_len=40000,n_barcodes=20,"
+                "molecules_per_barcode=2,molecule_len=4000,"
+                "reads_per_molecule=25,read_len=100,seed=12"]
+    outs = []
+    for share in ("2", "100000"):
+        rc, out, err = run(["-k", "17", "-w", "7", "-B", "18", *sim_args,
+                            "--friendShare", share, "--codeClusters",
+                            "--clusterReport"])
+        assert rc == 0
+        n_cl = sum(int(l.split("nClusters ")[1].split()[0])
+                   for l in out.splitlines() if l.startswith("code "))
+        outs.append(n_cl)
+    # an absurd share threshold yields no friends -> far more (singleton) clusters
+    assert outs[1] > outs[0] * 3, outs
