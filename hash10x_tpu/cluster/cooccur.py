@@ -165,65 +165,6 @@ def friend_union_batch(cl: jnp.ndarray, kmer_valid: jnp.ndarray,
     return jnp.where(kmer_valid, canon, -1)
 
 
-_BIG = np.int32(2**31 - 1)
-
-
-@functools.partial(jax.jit, static_argnames=("n_codes", "thr", "C"))
-def _friend_pipeline_uncapped(kmer_ids, kmer_valid, self_codes, csr_codes,
-                              csr_off, csr_len, n_codes: int, thr: int, C: int):
-    """Uncapped friend clustering: min-label propagation THROUGH friend columns.
-
-    No explicit friend list is ever materialized: each iteration scatter-mins
-    k-mer labels into a (B, n_codes) column array, masks columns whose share
-    with this barcode is below ``thr`` (shares from one scatter-add), and
-    gathers the column minima back through each k-mer's barcode list.  Cost per
-    iteration is linear in sum of list lengths — no top_k/full-row sorts (which
-    made the capped path slower than host extraction at 50k barcodes).
-
-    Semantics = ``cluster_barcode_friend`` with no max_friends cap.
-    """
-    B, K = kmer_ids.shape
-    kid = jnp.maximum(kmer_ids, 0)
-    off = csr_off[kid]
-    ll = csr_len[kid]
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (B, K, C), 2)
-    ok = (c_iota < ll[:, :, None]) & (kmer_ids >= 0)[:, :, None]
-    idx = jnp.minimum(off[:, :, None] + c_iota, csr_codes.shape[0] - 1)
-    cl = jnp.where(ok, csr_codes[idx], -1)
-
-    share = shares_batch(cl, self_codes, n_codes)          # (B, n_codes)
-    friend_col = share >= thr
-
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, K, C), 0)
-    cl_safe = jnp.where(ok, cl, 0)
-    valid = kmer_valid
-    init = jnp.where(valid, jax.lax.broadcasted_iota(jnp.int32, (B, K), 1), K)
-
-    def cond(state):
-        return state[1]
-
-    def body(state):
-        lab, _ = state
-        colmin = jnp.full((B, n_codes), _BIG, jnp.int32)
-        lab_bc = jnp.broadcast_to(lab[:, :, None], (B, K, C))
-        colmin = colmin.at[b_idx, cl_safe].min(
-            jnp.where(ok, lab_bc, _BIG))
-        colmin = jnp.where(friend_col, colmin, _BIG)
-        back = jnp.min(jnp.where(ok, colmin[b_idx, cl_safe], _BIG), axis=2)
-        new = jnp.minimum(lab, jnp.where(valid, jnp.minimum(back, K), K))
-        return (new, jnp.any(new != lab))
-
-    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
-
-    lab_s = jnp.sort(jnp.where(valid, labels, _BIG), axis=1)
-    is_first = jnp.concatenate(
-        [jnp.ones((B, 1), bool), lab_s[:, 1:] != lab_s[:, :-1]], axis=1)
-    is_first = is_first & (lab_s != _BIG)
-    below = (lab_s[:, None, :] < labels[:, :, None]) & is_first[:, None, :]
-    canon = jnp.sum(below, axis=2).astype(jnp.int32)
-    return jnp.where(valid, canon, -1)
-
-
 @functools.partial(jax.jit, static_argnames=("n_codes", "thr", "max_friends", "C"))
 def _friend_pipeline(kmer_ids, kmer_valid, self_codes, csr_codes, csr_off,
                      csr_len, n_codes: int, thr: int, max_friends: int, C: int):
@@ -274,9 +215,14 @@ def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
     matrix route of BASELINE.json).  Both bit-match their oracle counterparts.
 
     Returns per-code int32 label arrays aligned with ``inc.kmers_of(code)`` order.
-    Barcodes are grouped into power-of-two (K, C) size classes; each class runs as
-    padded device batches sized to ~max_batch_cells cells.
+    The uncapped friend path (max_friends=0, the default) runs the fully sparse
+    global pipeline (``cluster/sparse.py`` — memory ∝ pairs, never n_codes²);
+    capped friend and pair modes run as padded per-barcode device batches grouped
+    into power-of-two (K, C) size classes.
     """
+    if mode == "friend" and max_friends == 0:
+        from .sparse import cluster_codes_sparse
+        return cluster_codes_sparse(inc, min_friend_share=min_friend_share)
     sizes = np.diff(inc.code_offsets)
     list_lens = np.diff(inc.kmer_offsets)
     out: List[np.ndarray] = [None] * inc.n_codes  # type: ignore
@@ -331,16 +277,10 @@ def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
                 km = np.full((B, kc), -1, np.int32)
                 km[bi_of_k, ki_of_k] = kmer_flat.astype(np.int32)
                 valid = km >= 0
-                if max_friends:
-                    labels = np.asarray(_friend_pipeline(
-                        km, valid, chunk_arr.astype(np.int32), csr_codes,
-                        csr_off, csr_len, n_codes=inc.n_codes,
-                        thr=min_friend_share, max_friends=max_friends, C=cc))
-                else:
-                    labels = np.asarray(_friend_pipeline_uncapped(
-                        km, valid, chunk_arr.astype(np.int32), csr_codes,
-                        csr_off, csr_len, n_codes=inc.n_codes,
-                        thr=min_friend_share, C=cc))
+                labels = np.asarray(_friend_pipeline(
+                    km, valid, chunk_arr.astype(np.int32), csr_codes,
+                    csr_off, csr_len, n_codes=inc.n_codes,
+                    thr=min_friend_share, max_friends=max_friends, C=cc))
             elif mode == "pair":
                 cl = np.full((B, kc, cc), -1, np.int32)
                 valid = np.zeros((B, kc), bool)
