@@ -83,15 +83,21 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
                            modulus: int = 0, lane_capacity: int = 0,
                            use_kernel: bool = False, packed_read_len: int = 0,
                            count_mode: str = "occurrences",
-                           emission_cap_factor: int = 4):
+                           emission_cap_factor: int = 4, syncmer_s: int = 0):
     """Sharded count step over sorted tables.
 
-    Returns ``step(table, codes, lengths, bcs) -> table`` where codes (B, L) —
-    or 2-bit packed (B, W) rows when ``packed_read_len`` is set — is
-    batch-sharded over the mesh.  Each device sketches (optionally compacting
+    Returns ``step(table, codes, lengths, bcs, nmask=None) -> table`` where
+    codes (B, L) — or 2-bit packed (B, W) rows when ``packed_read_len`` is set —
+    is batch-sharded over the mesh.  Each device sketches (optionally compacting
     emissions per read), buckets emissions by owner shard, one all_to_all
     delivers them, and the receiver appends to its buffer (flushing
     shard-parallel when full).
+
+    Batches with short reads (0 < P_i < w, which the Pallas kernel skips) or an
+    invalid-base ``nmask`` (the kernel needs codes in [0,3]) run through a jnp-
+    sketch variant of the step so emission stays exact — counts match the
+    single-device path and oracle for every input (never-silent contract,
+    SURVEY.md §8.3).
 
     count_mode="barcodes": (hash, barcode) pairs are routed together and
     deduplicated *at the owner shard* — exact even when a barcode's reads are
@@ -102,15 +108,16 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     shard_mask = jnp.uint64(n - 1)
     flush_fn = _make_flush(mesh)
 
-    def sketch(codes, lengths):
-        if use_kernel and minimizer_pallas.supported(spec, codes.shape) \
-                and mode == "minimizer":
+    def sketch(codes, lengths, force_jnp):
+        if not force_jnp and use_kernel and mode == "minimizer" \
+                and minimizer_pallas.supported(spec, codes.shape):
             return minimizer_pallas.sketch_minimizer(spec, codes, lengths)
-        return seqhash_jnp.sketch(spec, codes, lengths, mode=mode, m=modulus)
+        return seqhash_jnp.sketch(spec, codes, lengths, mode=mode, m=modulus,
+                                  syncmer_s=syncmer_s)
 
-    def emissions_of(codes, lengths, bcs):
+    def emissions_of(codes, lengths, bcs, force_jnp):
         """-> (flat_h, flat_bc, cap_overflow) with per-read compaction."""
-        h, _, emit = sketch(codes, lengths)
+        h, _, emit = sketch(codes, lengths, force_jnp)
         Pp = h.shape[1]
         keyed = jnp.where(emit, h, _U64MAX)
         cf = emission_cap_factor
@@ -127,12 +134,12 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     def lane_cap(E):
         return lane_capacity or max(int(4 * E // max(n, 1)), 8)
 
-    def step_body(buf, drops, codes, lengths, bcs, offset):
+    def step_body(buf, drops, codes, lengths, bcs, offset, nmask, force_jnp):
         buf, drops = buf[0], drops[0]
         if packed_read_len:
             from ..core.encode import unpack_2bit_jnp
-            codes = unpack_2bit_jnp(codes, packed_read_len)
-        flat_h, flat_bc, cap_over = emissions_of(codes, lengths, bcs)
+            codes = unpack_2bit_jnp(codes, packed_read_len, nmask)
+        flat_h, flat_bc, cap_over = emissions_of(codes, lengths, bcs, force_jnp)
         E = flat_h.shape[0]
         cap = lane_cap(E)
         dest = jnp.where(flat_h != _U64MAX,
@@ -172,12 +179,29 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         buf = jax.lax.dynamic_update_slice(buf, flat, (jnp.int32(offset),))
         return buf[None], (drops + n_dropped)[None]
 
-    step_jit = jax.jit(jax.shard_map(
-        step_body, mesh=mesh,
-        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P()),
-        out_specs=(P("d"), P("d")),
-        check_vma=False),
-        donate_argnums=(0, 1))
+    # step variants keyed by (with_nmask, force_jnp): the common fast path
+    # (kernel, no Ns) plus exact fallbacks; traced lazily so unused variants
+    # never cost a remote compile
+    _steps = {}
+
+    def get_step(with_nmask: bool, force_jnp: bool):
+        key = (with_nmask, force_jnp)
+        if key not in _steps:
+            if with_nmask:
+                def body(buf, drops, codes, lengths, bcs, offset, nmask):
+                    return step_body(buf, drops, codes, lengths, bcs, offset,
+                                     nmask, force_jnp)
+                specs = (P("d"), P("d"), P("d"), P("d"), P("d"), P(), P("d"))
+            else:
+                def body(buf, drops, codes, lengths, bcs, offset):
+                    return step_body(buf, drops, codes, lengths, bcs, offset,
+                                     None, force_jnp)
+                specs = (P("d"), P("d"), P("d"), P("d"), P("d"), P())
+            _steps[key] = jax.jit(jax.shard_map(
+                body, mesh=mesh, in_specs=specs,
+                out_specs=(P("d"), P("d")), check_vma=False),
+                donate_argnums=(0, 1))
+        return _steps[key]
 
     def recv_width(batch_reads, read_len):
         Pp = read_len - spec.k + 1
@@ -187,16 +211,33 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         E = (batch_reads // n) * Pp
         return n * lane_cap(E)
 
-    def apply(t: ShardedSortedTable, codes, lengths, bcs) -> ShardedSortedTable:
+    def apply(t: ShardedSortedTable, codes, lengths, bcs,
+              nmask=None, force_jnp=None) -> ShardedSortedTable:
         L = packed_read_len or codes.shape[1]
         width = recv_width(codes.shape[0], L)
         if t.buf_n + width > t.buf_capacity:
             (t.hashes, t.counts, t.buf, sp) = flush_fn(t.hashes, t.counts, t.buf)
             t.spilled = t.spilled + sp
             t.buf_n = 0
-        (t.buf, t.route_drops) = step_jit(
-            t.buf, t.route_drops, jnp.asarray(codes), jnp.asarray(lengths),
-            jnp.asarray(bcs), jnp.int32(t.buf_n))
+        # short reads emit nothing in-kernel; route such batches (and batches
+        # with N bases) through the jnp-sketch variant so counts stay exact.
+        # The chosen variant must be identical across processes (SPMD): with
+        # multi-host global arrays the lengths aren't host-readable, so default
+        # to the always-exact jnp variant; callers that know their global batch
+        # is kernel-safe pass force_jnp=False explicitly.
+        if force_jnp is None:
+            if getattr(lengths, "is_fully_addressable", True):
+                P_i = np.asarray(lengths) - spec.k + 1
+                force_jnp = bool(((P_i > 0) & (P_i < spec.w)).any())
+            else:
+                force_jnp = True
+        force_jnp = force_jnp or nmask is not None
+        step_fn = get_step(nmask is not None, force_jnp)
+        args = (t.buf, t.route_drops, jnp.asarray(codes), jnp.asarray(lengths),
+                jnp.asarray(bcs), jnp.int32(t.buf_n))
+        if nmask is not None:
+            args = args + (jnp.asarray(nmask),)
+        (t.buf, t.route_drops) = step_fn(*args)
         t.buf_n += width
         return t
 
