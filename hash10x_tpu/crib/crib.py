@@ -13,10 +13,13 @@ with k-1 overlap (static shapes, one jit).
 
 from __future__ import annotations
 
+import functools
 import sys
 from dataclasses import dataclass
 from typing import List, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..hashspec import HashSpec, U64MAX
@@ -44,14 +47,39 @@ class Crib:
         return np.bincount(self.labels, minlength=5)
 
 
+@functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+def _scan_group(spec: HashSpec, counts, first_pos, rows, lens, offs, retained):
+    """Hash one fixed-shape row group, look hashes up in the retained set, and
+    accumulate multiplicity + first-position ON DEVICE (the round-1 path did
+    searchsorted/np.add.at on host per group — the crib wall for Gb genomes)."""
+    h, _, valid = seqhash_jnp.kmer_grid(spec, rows, lens)
+    flat = jnp.where(valid, h, jnp.uint64(U64MAX)).reshape(-1)
+    n = retained.shape[0]
+    idx = jnp.searchsorted(retained, flat)
+    idx_c = jnp.minimum(idx, n - 1)
+    hit = (flat != jnp.uint64(U64MAX)) & (retained[idx_c] == flat)
+    tgt = jnp.where(hit, idx_c, n)                     # n = dropped slot
+    counts = counts.at[tgt].add(1, mode="drop")
+    P = valid.shape[1]
+    pos = (offs[:, None] + jnp.arange(P, dtype=jnp.int64)[None, :]).reshape(-1)
+    first_pos = first_pos.at[tgt].min(
+        jnp.where(hit, pos, jnp.iinfo(jnp.int64).max), mode="drop")
+    return counts, first_pos
+
+
 def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path,
                        with_positions: bool = False):
     """Multiplicity of each retained k-mer in one genome FASTA (canonical hashes,
     every k-mer position — the reference hashes whole genomes, not sketches).
     With ``with_positions``, also returns each k-mer's first position in the
     concatenated-genome coordinate (-1 if absent) for contiguity reports."""
-    counts = np.zeros(len(retained_hashes), np.uint32)
-    first_pos = np.full(len(retained_hashes), np.iinfo(np.int64).max, np.int64)
+    nk = len(retained_hashes)
+    if nk == 0:
+        z = np.zeros(0, np.uint32)
+        return (z, np.zeros(0, np.int64)) if with_positions else z
+    counts = jnp.zeros(nk, jnp.uint32)
+    first_pos = jnp.full(nk, np.iinfo(np.int64).max, jnp.int64)
+    retained_d = jnp.asarray(retained_hashes)
     k = spec.k
     step = _CHUNK - (k - 1)
     ROWS = 32  # fixed batch height: one jit compile regardless of contig sizes
@@ -79,22 +107,13 @@ def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path,
             rows[bi, :len(piece)] = piece
             lens[bi] = len(piece)
             offs[bi] = goff
-        h, _, valid = seqhash_jnp.kmer_grid(spec, rows, lens)
-        valid = np.asarray(valid)
-        flat = np.where(valid, np.asarray(h), U64MAX).reshape(-1)
-        keep = flat != U64MAX
-        flat = flat[keep]
-        idx = np.searchsorted(retained_hashes, flat)
-        idx_c = np.minimum(idx, len(retained_hashes) - 1)
-        hit = (idx < len(retained_hashes)) & (retained_hashes[idx_c] == flat)
-        np.add.at(counts, idx_c[hit], 1)
-        if with_positions:
-            P = valid.shape[1]
-            pos = (offs[:, None] + np.arange(P)[None, :]).reshape(-1)[keep]
-            np.minimum.at(first_pos, idx_c[hit], pos[hit])
+        counts, first_pos = _scan_group(spec, counts, first_pos, rows, lens,
+                                        offs, retained_d)
+    counts = np.asarray(counts)
     if with_positions:
-        first_pos[first_pos == np.iinfo(np.int64).max] = -1
-        return counts, first_pos
+        fp = np.asarray(first_pos).copy()
+        fp[fp == np.iinfo(np.int64).max] = -1
+        return counts, fp
     return counts
 
 
@@ -123,42 +142,75 @@ def build_crib(spec: HashSpec, retained_hashes: np.ndarray,
                 positions=positions)
 
 
+def _segment_percentile(sorted_vals: np.ndarray, seg_off: np.ndarray,
+                        seg_len: np.ndarray, q: float) -> np.ndarray:
+    """np.percentile(.., q, method='linear') per contiguous segment, vectorized
+    (bit-equal to the per-segment np.percentile the round-1 loop called)."""
+    pos = (seg_len - 1) * (q / 100.0)
+    i0 = np.floor(pos).astype(np.int64)
+    frac = pos - i0
+    lo = sorted_vals[seg_off + i0]
+    hi = sorted_vals[np.minimum(seg_off + i0 + 1, seg_off + seg_len - 1)]
+    return lo + frac * (hi - lo)
+
+
 def crib_report(inc, clusters, crib: Crib, out=sys.stdout) -> None:
     """Per-cluster label composition + haplotype purity (the crib half of
     ``--clusterReport``).  Purity = dominant-haplotype fraction among HET k-mers;
-    clusters with no HET k-mers report purity -."""
+    clusters with no HET k-mers report purity -.
+
+    All per-cluster statistics (label compositions, purity, inner-80% spans)
+    are computed vectorized over the flat (code, cluster) key space — the
+    round-1 per-cluster Python loop was O(n_clusters) numpy calls, a wall at
+    1M+ codes."""
     comp = crib.composition()
     out.write("crib totals " +
               " ".join(f"{LABEL_NAMES[l]} {int(comp[l])}" for l in range(5)) + "\n")
-    total_het = 0
-    total_dom = 0
-    for c in range(inc.n_codes):
-        kh = inc.kmers_of(c)
-        cl = clusters[c]
-        n_cl = int(cl.max()) + 1 if len(cl) else 0
-        for lab in range(n_cl):
-            ks = kh[cl == lab]
-            lc = np.bincount(crib.labels[ks], minlength=5)
-            h1, h2 = int(lc[HET1]), int(lc[HET2])
-            if h1 + h2 > 0:
-                purity = max(h1, h2) / (h1 + h2)
-                total_het += h1 + h2
-                total_dom += max(h1, h2)
-                pstr = f"{purity:.3f}"
-            else:
-                pstr = "-"
-            # contiguity: inner 80% span of member positions in hap1 (clean
-            # molecule clusters span ~one molecule length; merges span more)
-            span = "-"
-            if crib.positions is not None:
-                pp = crib.positions[ks]
-                pp = pp[pp >= 0]
-                if len(pp) >= 5:
-                    span = str(int(np.percentile(pp, 90) - np.percentile(pp, 10)))
-            out.write(f"code {c} cluster {lab} n {len(ks)} "
-                      f"hom {int(lc[HOM])} het1 {h1} het2 {h2} "
-                      f"mul {int(lc[MUL])} err {int(lc[ERR])} purity {pstr} "
-                      f"span {span}\n")
+    n_pairs = inc.n_pairs
+    flat_cl = (np.concatenate(clusters).astype(np.int64) if n_pairs
+               else np.zeros(0, np.int64))
+    code_of_p = np.repeat(np.arange(inc.n_codes, dtype=np.int64),
+                          np.diff(inc.code_offsets))
+    K = int(flat_cl.max()) + 1 if n_pairs else 1
+    combined = code_of_p * K + flat_cl
+    # global cluster ids in (code, cluster) order — the report's line order
+    uniq, gid, csize = np.unique(combined, return_inverse=True,
+                                 return_counts=True)
+    G = len(uniq)
+    # label composition per cluster: one bincount over (gid, crib label)
+    lab_of_p = crib.labels[inc.code_kmers].astype(np.int64)
+    lc = np.bincount(gid * 5 + lab_of_p, minlength=G * 5).reshape(G, 5)
+    h1, h2 = lc[:, HET1], lc[:, HET2]
+    het = h1 + h2
+    dom = np.maximum(h1, h2)
+    # inner-80% spans of hap1 positions per cluster
+    spans = np.full(G, -1, np.int64)
+    if crib.positions is not None and n_pairs:
+        pp = crib.positions[inc.code_kmers]
+        ok = pp >= 0
+        gv, pv = gid[ok], pp[ok]
+        order = np.lexsort((pv, gv))
+        gv, pv = gv[order], pv[order]
+        seg_len = np.bincount(gv, minlength=G)
+        seg_off = np.concatenate([[0], np.cumsum(seg_len)])[:-1]
+        enough = seg_len >= 5
+        if enough.any():
+            p90 = _segment_percentile(pv, seg_off[enough], seg_len[enough], 90)
+            p10 = _segment_percentile(pv, seg_off[enough], seg_len[enough], 10)
+            spans[enough] = (p90 - p10).astype(np.int64)
+    codes_g = uniq // K
+    labs_g = uniq % K
+    lines = []
+    for g in range(G):
+        pstr = f"{dom[g] / het[g]:.3f}" if het[g] else "-"
+        sstr = str(spans[g]) if spans[g] >= 0 else "-"
+        lines.append(
+            f"code {codes_g[g]} cluster {labs_g[g]} n {csize[g]} "
+            f"hom {lc[g, HOM]} het1 {h1[g]} het2 {h2[g]} "
+            f"mul {lc[g, MUL]} err {lc[g, ERR]} purity {pstr} "
+            f"span {sstr}\n")
+    out.write("".join(lines))
+    total_het = int(het.sum())
     if total_het:
-        out.write(f"crib overall purity {total_dom / total_het:.4f} "
+        out.write(f"crib overall purity {int(dom.sum()) / total_het:.4f} "
                   f"over {total_het} het kmers\n")
