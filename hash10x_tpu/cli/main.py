@@ -229,10 +229,12 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
                 st.get_engine().write_clusters(f)
         elif a in ("--cluster", "--codeClusters"):
             eng = st.get_engine()
-            if st.fqb is None:
-                raise SystemExit("--codeClusters: no reads loaded for incidence")
-            eng.filter(st.min_count, st.max_count)
-            eng.incidence(st.fqb)
+            if st.fqb is not None:
+                eng.filter(st.min_count, st.max_count)
+                eng.incidence(st.fqb)
+            elif eng.inc is None:
+                raise SystemExit("--codeClusters: no reads loaded for incidence "
+                                 "(and no incidence in a loaded checkpoint)")
             eng.cluster()
         elif a == "--clusterSplit":
             st.get_engine().split()

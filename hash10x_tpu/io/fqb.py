@@ -7,6 +7,9 @@ the container format is ours (semantic outputs are the contract); this module de
 it plus a FASTQ importer.  Layout: an uncompressed ``.npz`` holding
 
 * ``packed   (N, ceil(L/16)) uint32`` — 2-bit packed bases (N bases packed as 'a')
+* ``nmask    (N, ceil(L/32)) uint32`` — invalid-base (N) bitmask, omitted when the
+  lane has no Ns; unpack restores code 4 there so k-mer windows spanning an N are
+  rejected exactly as on the text path
 * ``lengths  (N,) int32``
 * ``barcode_ids (N,) int32`` — index into ``barcode_keys`` (-1 = invalid/no barcode)
 * ``barcode_keys (C,) uint32`` — distinct 16bp barcodes, 2-bit packed, sorted
@@ -22,13 +25,24 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..core.encode import pack_2bit, unpack_2bit
+from ..core.encode import pack_2bit, unpack_2bit, nmask_from_codes
 from .fastq import BARCODE_LEN, ReadBatch, read_fastq, extract_barcodes
 
 __all__ = ["Fqb", "save_fqb", "load_fqb", "fastq_to_fqb", "from_read_batch"]
 
-_VERSION = 1
+_VERSION = 2
 _INVALID = np.uint32(0xFFFFFFFF)
+
+
+def _length_masked_nmask(codes: np.ndarray, lengths: np.ndarray):
+    """Invalid-base bitmask restricted to bases inside each read's length
+    (padding past the length is already invalid via lengths); None if no Ns."""
+    L = codes.shape[-1]
+    in_read = np.arange(L)[None, :] < np.asarray(lengths)[:, None]
+    bad = (np.asarray(codes, np.uint8) > 3) & in_read
+    if not bad.any():
+        return None
+    return nmask_from_codes(np.where(bad, 4, 0).astype(np.uint8))
 
 
 @dataclass
@@ -38,6 +52,7 @@ class Fqb:
     barcode_ids: np.ndarray   # (N,) int32, -1 = invalid
     barcode_keys: np.ndarray  # (C,) uint32 sorted
     read_len: int
+    nmask: Optional[np.ndarray] = None  # (N, ceil(L/32)) uint32, None = no Ns
 
     def __len__(self):
         return self.packed.shape[0]
@@ -47,9 +62,9 @@ class Fqb:
         return int(self.barcode_keys.shape[0])
 
     def codes(self) -> np.ndarray:
-        """Unpack to (N, read_len) uint8 base codes (padding beyond lengths is 'a';
-        mask with lengths downstream)."""
-        return unpack_2bit(self.packed, self.read_len)
+        """Unpack to (N, read_len) uint8 base codes (padding beyond lengths is 'a',
+        N positions come back as 4; mask with lengths downstream)."""
+        return unpack_2bit(self.packed, self.read_len, self.nmask)
 
 
 def from_read_batch(batch: ReadBatch, barcodes: Optional[np.ndarray] = None) -> Fqb:
@@ -74,37 +89,44 @@ def from_read_batch(batch: ReadBatch, barcodes: Optional[np.ndarray] = None) -> 
         barcode_ids=ids,
         barcode_keys=uniq.astype(np.uint32),
         read_len=L,
+        nmask=_length_masked_nmask(batch.codes, batch.lengths),
     )
 
 
 def save_fqb(path, fqb: Fqb) -> None:
     meta = json.dumps({"version": _VERSION, "read_len": fqb.read_len,
-                       "n_reads": len(fqb), "n_barcodes": fqb.n_barcodes})
+                       "n_reads": len(fqb), "n_barcodes": fqb.n_barcodes,
+                       "has_nmask": fqb.nmask is not None})
+    extra = {"nmask": fqb.nmask} if fqb.nmask is not None else {}
     np.savez(path, packed=fqb.packed, lengths=fqb.lengths,
              barcode_ids=fqb.barcode_ids, barcode_keys=fqb.barcode_keys,
-             meta=np.frombuffer(meta.encode(), np.uint8))
+             meta=np.frombuffer(meta.encode(), np.uint8), **extra)
 
 
 def load_fqb(path) -> Fqb:
     z = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
     meta = json.loads(bytes(z["meta"]).decode())
-    if meta["version"] != _VERSION:
+    if meta["version"] not in (1, _VERSION):
         raise ValueError(f"fqb version {meta['version']} != {_VERSION}")
     return Fqb(packed=z["packed"], lengths=z["lengths"],
                barcode_ids=z["barcode_ids"], barcode_keys=z["barcode_keys"],
-               read_len=meta["read_len"])
+               read_len=meta["read_len"],
+               nmask=z["nmask"] if meta.get("has_nmask") else None)
 
 
 def from_packed(packed: np.ndarray, lengths: np.ndarray, barcode_keys: np.ndarray,
-                read_len: int) -> Fqb:
+                read_len: int, nmask: Optional[np.ndarray] = None) -> Fqb:
     """Assemble an Fqb directly from packed parts (the native loader's output).
     Validity = length > 0 (see from_read_batch: every u32 is a real barcode)."""
     valid = np.asarray(lengths) > 0
     uniq = np.unique(barcode_keys[valid])
     ids = np.full(len(barcode_keys), -1, np.int32)
     ids[valid] = np.searchsorted(uniq, barcode_keys[valid]).astype(np.int32)
+    if nmask is not None and not nmask.any():
+        nmask = None
     return Fqb(packed=packed, lengths=lengths.astype(np.int32), barcode_ids=ids,
-               barcode_keys=uniq.astype(np.uint32), read_len=read_len)
+               barcode_keys=uniq.astype(np.uint32), read_len=read_len,
+               nmask=nmask)
 
 
 def paired_fastq_to_fqb(r1_path, r2_path, out_path=None, max_len: int = 0,
@@ -132,12 +154,26 @@ def paired_fastq_to_fqb(r1_path, r2_path, out_path=None, max_len: int = 0,
         packed2 = np.concatenate([packed2, pad], axis=1)
     valid1 = f1.barcode_ids >= 0
     keys1 = f1.barcode_keys[np.maximum(f1.barcode_ids, 0)].astype(np.uint32)
+    nm2 = _length_masked_nmask(b2.codes, b2.lengths)
+    nmask = None
+    if f1.nmask is not None or nm2 is not None:
+        W32 = (L + 31) // 32
+        def _pad_nm(nm, n_rows):
+            if nm is None:
+                return np.zeros((n_rows, W32), np.uint32)
+            if nm.shape[1] < W32:
+                nm = np.concatenate(
+                    [nm, np.zeros((nm.shape[0], W32 - nm.shape[1]), np.uint32)],
+                    axis=1)
+            return nm
+        nmask = np.concatenate([_pad_nm(f1.nmask, len(f1)),
+                                _pad_nm(nm2, len(b2))])
     fqb = from_packed(
         np.concatenate([packed1, packed2]),
         np.concatenate([f1.lengths,
                         np.where(valid1, b2.lengths, 0).astype(np.int32)]),
         np.concatenate([keys1, keys1]),
-        L)
+        L, nmask=nmask)
     if out_path is not None:
         save_fqb(out_path, fqb)
     return fqb

@@ -57,13 +57,13 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_long,
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
         ctypes.c_long]
-    lib.h10x_pack.restype = None
+    lib.h10x_pack.restype = ctypes.c_long
     lib.h10x_pack.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
-        ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_uint32)]
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32)]
     _lib = lib
     return _lib
 
@@ -73,10 +73,12 @@ def available() -> bool:
 
 
 def load_fastq_native(path, bc_len: int = 16, max_len: int = 0
-                      ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                          int, Optional[np.ndarray]]]:
     """FASTQ file -> (packed (N, W) u32, lengths (N,) i32, barcode keys (N,) u32,
-    read_len).  Returns None when the native library is unavailable (caller
-    falls back to the numpy parser).  Gzip inputs decompress in Python first.
+    read_len, nmask (N, ceil(L/32)) u32 or None when the lane has no Ns).
+    Returns None when the native library is unavailable (caller falls back to
+    the numpy parser).  Gzip inputs decompress in Python first.
     """
     lib = _build()
     if lib is None:
@@ -93,7 +95,7 @@ def load_fastq_native(path, bc_len: int = 16, max_len: int = 0
     n_rec_est = lib.h10x_count_records(buf, n)
     if n_rec_est <= 0:
         return (np.zeros((0, 0), np.uint32), np.zeros(0, np.int32),
-                np.zeros(0, np.uint32), 0)
+                np.zeros(0, np.uint32), 0, None)
     seq_off = np.zeros(n_rec_est, np.int64)
     seq_len = np.zeros(n_rec_est, np.int64)
     n_rec = lib.h10x_seq_offsets(
@@ -107,15 +109,19 @@ def load_fastq_native(path, bc_len: int = 16, max_len: int = 0
 
     read_len = max_len or max(int(seq_len.max(initial=0)) - bc_len, 0)
     words = (read_len + 15) // 16
+    nwords = (read_len + 31) // 32
     packed = np.zeros((n_rec, max(words, 1)), np.uint32)
     lengths = np.zeros(n_rec, np.int32)
     barcodes = np.zeros(n_rec, np.uint32)
-    lib.h10x_pack(
+    nmask = np.zeros((n_rec, max(nwords, 1)), np.uint32)
+    n_bad = lib.h10x_pack(
         buf,
         seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         seq_len.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-        n_rec, bc_len, read_len, max(words, 1),
+        n_rec, bc_len, read_len, max(words, 1), max(nwords, 1),
         packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        barcodes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
-    return packed[:, :words], lengths, barcodes, read_len
+        barcodes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return (packed[:, :words], lengths, barcodes, read_len,
+            nmask[:, :nwords] if n_bad else None)

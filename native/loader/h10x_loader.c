@@ -14,6 +14,8 @@
  *   lengths[rec]  : int32 post-barcode length (0 if invalid barcode/too short)
  *   barcodes[rec] : uint32 2-bit packed 16bp barcode, base 0 in the TOP bits;
  *                   0xFFFFFFFF when the barcode contains a non-ACGT base
+ *   nmask[rec][w] : uint32 invalid-base bitmask (bit j%32 of word j/32 set iff
+ *                   base j is not ACGT) — k-mers spanning an N must not count
  */
 
 #include <stdint.h>
@@ -74,16 +76,21 @@ long h10x_seq_offsets(const char *buf, long n, long *seq_off, long *seq_len,
   return rec;
 }
 
-/* Pass 2 (parallel): pack every record. words = ceil(max_len/16). */
-void h10x_pack(const char *buf, const long *seq_off, const long *seq_len,
-               long n_rec, int bc_len, int max_len, int words,
-               uint32_t *packed, int32_t *lengths, uint32_t *barcodes) {
-#pragma omp parallel for schedule(static)
+/* Pass 2 (parallel): pack every record. words = ceil(max_len/16),
+ * nwords = ceil(max_len/32). Returns the number of set nmask bits (0 = the
+ * caller may drop the mask entirely). */
+long h10x_pack(const char *buf, const long *seq_off, const long *seq_len,
+               long n_rec, int bc_len, int max_len, int words, int nwords,
+               uint32_t *packed, int32_t *lengths, uint32_t *barcodes,
+               uint32_t *nmask) {
+  long n_bad = 0;
+#pragma omp parallel for schedule(static) reduction(+ : n_bad)
   for (long r = 0; r < n_rec; r++) {
     const char *s = buf + seq_off[r];
     long len = seq_len[r];
     uint32_t bc = 0;
     int bad = 0;
+    memset(nmask + (size_t)r * nwords, 0, (size_t)nwords * 4);
     if (len <= bc_len) {
       barcodes[r] = 0xFFFFFFFFu;
       lengths[r] = 0;
@@ -100,12 +107,20 @@ void h10x_pack(const char *buf, const long *seq_off, const long *seq_len,
     if (sl > max_len) sl = max_len;
     lengths[r] = bad ? 0 : (int32_t)sl;
     uint32_t *row = packed + (size_t)r * words;
+    uint32_t *nrow = nmask + (size_t)r * nwords;
     memset(row, 0, (size_t)words * 4);
     const char *q = s + bc_len;
     for (long j = 0; j < sl; j++) {
       uint8_t c = lut[(uint8_t)q[j]];
-      if (c > 3) c = 0; /* N packs as 'a' (fqb contract, io/fqb.py) */
+      if (c > 3) { /* N: pack as 'a', flag in the sideband */
+        c = 0;
+        if (!bad) { /* bad-barcode reads have length 0: no mask needed */
+          nrow[j >> 5] |= ((uint32_t)1) << (j & 31);
+          n_bad++;
+        }
+      }
       row[j >> 4] |= ((uint32_t)c) << ((j & 15) * 2);
     }
   }
+  return n_bad;
 }

@@ -183,15 +183,18 @@ def test_friend_uncapped_matches_oracle(rng, thr, density):
         assert got[c].tolist() == expect[c], f"code {c}"
 
 
-def test_oversized_barcode_fails_fast():
-    """A barcode with more reads than batch_reads must raise, not silently
-    split (splitting breaks per-batch (hash,barcode) dedup)."""
+def test_oversized_barcode_sharded_fails_fast():
+    """The SHARDED count path dedups (hash, barcode) per step only, so a
+    barcode spanning batches must raise there, never silently undercount.
+    (The single-device path handles oversized barcodes exactly —
+    tests/test_oversized.py.)"""
     import pytest as _pytest
     sim = simulate(SimConfig(genome_len=30000, n_barcodes=2,
                              molecules_per_barcode=1, molecule_len=5000,
                              reads_per_molecule=300, read_len=100, seed=3))
     fqb = FB.from_read_batch(sim.reads)
     eng = Engine(EngineConfig(spec=HashSpec(k=17, w=5, seed=17), table_bits=18,
-                              batch_reads=256), log=None)
-    with _pytest.raises(RuntimeError, match="more than"):
+                              batch_reads=256, count_mode="barcodes",
+                              n_shards=2), log=None)
+    with _pytest.raises(RuntimeError, match="more reads than"):
         eng.count(fqb)
