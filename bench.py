@@ -1,20 +1,36 @@
-"""Benchmark harness: count-pass reads/s on the real chip vs the C baseline.
+"""Benchmark harness: the product count path on the real chip vs the C baseline.
 
 Prints ONE JSON line:
   {"metric": "count_pass_reads_per_s", "value": N, "unit": "reads/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "points": [...]}
 
-vs_baseline is measured against ``native/c_ref/hash10x_ref.c`` — a single-thread
-C implementation of the same hashing contract compiled with gcc -O3 — standing in
-for the unavailable reference binary's x1.0 row (BASELINE.md "reference-side
-numbers still to capture").  The BASELINE.json north star is >=10x on a v5e-16;
-this harness measures one chip (the driver records per-round results).
+The headline is the ENGINE count pass (config #1 semantics: minimizer
+occurrence counts, single barcode, k=21) — the same code ``--readFQB`` runs,
+including host->device ingest, sketch kernel, per-batch pre-reduction, and LSM
+table flushes.  ``points`` carries the supporting curve:
 
-Config: BASELINE.json config #1 semantics — minimizer occurrence counts, single
-barcode stream, k=21.
+* ``engine_count``      — headline, measured end-to-end on the real chip
+* ``sketch_kernel``     — the fused Pallas sketch alone (amortized over many
+                          enqueued calls; the relay's ~30-50 ms sync round trip
+                          otherwise floors single-call timings), with
+                          bytes/s/chip and a roofline context
+* ``engine_barcodes``   — barcodes-mode count + incidence + cluster wall on a
+                          small multi-barcode lane (config #3 semantics)
+* ``sharded_count``     — the n_shards=1 sharded path on the real chip (same
+                          all_to_all routing code the pod-slice path runs)
+
+vs_baseline is measured against ``native/c_ref/hash10x_ref.c`` — a
+single-thread C implementation of the same hashing contract compiled with
+gcc -O3 — standing in for the unavailable reference binary (BASELINE.md
+"reference-side numbers still to capture").  The BASELINE.json north star is
+>=10x on a v5e-16; this harness measures one chip.
+
+Relay caveat (documented in ROADMAP.md): this environment reaches the chip
+through a tunnel with ~65 MB/s host->device bandwidth and ~30-50 ms sync
+round trips; the engine numbers INCLUDE those artifacts, so they are a lower
+bound on real-hardware throughput (where PCIe moves GB/s and syncs are ~us).
 """
 
-import functools
 import json
 import os
 import subprocess
@@ -29,77 +45,169 @@ import numpy as np
 
 N_READS = 1 << 16
 READ_LEN = 150
-BATCH = 1 << 13
+BATCH = 1 << 12
 K, W, SEED = 21, 11, 17
-TABLE_BITS = 20        # ~330k distinct kmers in this lane; auto-grow covers bigger
-C_SUBSET = 1 << 14   # the C baseline runs a subset (it is ~100x slower)
+C_SUBSET = 1 << 14   # the C baseline runs a subset (it is much slower)
+
+# barcodes-mode mini-lane (config #3 semantics, kept small for bench wall time)
+BC_READS = 1 << 15
+BC_CODES = 1 << 10
+
+HBM_GBPS = 819.0  # v5e HBM roofline, GB/s
 
 
-def make_lane():
+def make_lane(n_reads=N_READS):
     rng = np.random.default_rng(7)
     # genome-derived reads (repeats matter for table contention realism)
     genome = rng.integers(0, 4, size=2_000_000).astype(np.uint8)
-    starts = rng.integers(0, len(genome) - READ_LEN, size=N_READS)
-    reads = np.stack([genome[s:s + READ_LEN] for s in starts])
-    return reads
+    starts = rng.integers(0, len(genome) - READ_LEN, size=n_reads)
+    return np.stack([genome[s:s + READ_LEN] for s in starts])
 
 
-def bench_tpu(reads):
+def bench_engine(reads):
+    """Headline: the Engine's occurrence-mode count pass.
+
+    Measured twice: COLD (fresh engine — includes the host->device ingest,
+    which on this tunnel runs at ~65 MB/s, an environment artifact) and HOT
+    (``Engine.reset()`` + re-count — the lane's chunks are already device-
+    resident via the engine's chunk cache, so this is the device compute path:
+    kernel + pre-reduction + LSM flushes).  The hot number is the headline:
+    real deployments feed from local NVMe over PCIe at GB/s, where ingest is
+    not the bottleneck; the cold number bounds this environment."""
+    import jax
+    from hash10x_tpu.hashspec import HashSpec
+    from hash10x_tpu.engine import Engine, EngineConfig
+    from hash10x_tpu.io.fqb import Fqb
+    from hash10x_tpu.core.encode import pack_2bit
+    from hash10x_tpu.utils.sync import device_sync
+
+    packed = pack_2bit(reads)
+    n = len(reads)
+    fqb = Fqb(packed=packed, lengths=np.full(n, READ_LEN, np.int32),
+              barcode_ids=np.zeros(n, np.int32),
+              barcode_keys=np.zeros(1, np.uint32), read_len=READ_LEN)
+
+    cfg = EngineConfig(spec=HashSpec(k=K, w=W, seed=SEED),
+                       count_mode="occurrences", table_bits=20,
+                       batch_reads=BATCH)
+
+    def run(eng):
+        eng.reset()
+        t0 = time.monotonic()
+        eng.count(fqb)
+        device_sync(eng.table.hashes)
+        return time.monotonic() - t0
+
+    eng = Engine(cfg, log=None)
+    run(eng)  # warm compiles (also transfers + caches chunks)
+    eng._chunk_cache.clear()
+    cold = run(eng)  # fresh transfer, warm compiles (re-caches)
+    best = min(run(eng) for _ in range(3))  # device-resident chunks
+    n_kmers = int(np.asarray(eng.table.n_filled))
+    return n / best, n / cold, n_kmers, best
+
+
+def bench_kernel(reads):
+    """Sketch kernel alone, amortized over enqueued calls (sync-floor free)."""
     import jax
     import jax.numpy as jnp
-    import hash10x_tpu
-    from hash10x_tpu.hashspec import HashSpec, U64MAX
+    from hash10x_tpu.hashspec import HashSpec
     from hash10x_tpu.kernels import minimizer_pallas as MP
-    from hash10x_tpu.table import sorted_table as ST
     from hash10x_tpu.utils.sync import device_sync
 
     spec = HashSpec(k=K, w=W, seed=SEED)
-    lengths = np.full(BATCH, READ_LEN, np.int32)
-
-    lengths_j = jnp.asarray(lengths)
-
-    # per-read emission cap: E[minimizers/read] = 2P/(w+1); 4x headroom.
-    # Overflowing rows would be counted (cap_overflow), never silent.
-    P = READ_LEN - K + 1
-    CAP = min(P, 4 * (2 * P // (W + 1)) + 4)
-
-    @functools.partial(jax.jit, donate_argnums=0)
-    def append_step(buf, codes, offset, over):
-        # fused: pallas sketch -> compact emissions per read -> buffer write
-        h, _, emit = MP.sketch_minimizer(spec, codes, lengths_j)
-        keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
-        packed = jnp.sort(keyed, axis=1)[:, :CAP]     # emitted hashes first
-        over = over + jnp.sum(emit.sum(axis=1) > CAP)
-        flat = packed.reshape(-1)
-        return jax.lax.dynamic_update_slice(buf, flat, (jnp.int32(offset),)), over
-
-    E = BATCH * CAP
-    t = ST.make_sorted_table(1 << TABLE_BITS, 1 << 23)
-    batches = [jnp.asarray(reads[i:i + BATCH]) for i in range(0, N_READS, BATCH)]
-
-    def run(t):
-        over = jnp.zeros((), jnp.int64)
-        for b in batches:
-            if t.buf_n + E > t.buf.shape[0]:
-                t = ST.flush(t)
-            buf, over = append_step(t.buf, b, t.buf_n, over)
-            t = ST.SortedTable(t.hashes, t.counts, buf, t.buf_n + E, t.spilled)
-        assert int(over) == 0, "emission cap overflow"
-        return ST.flush(t)
-
-    # warmup (compile every shape incl. flush), then best-of-3 steady-state
-    # timing with a real host-readback sync (block_until_ready is enqueue-only
-    # via the relay); best-of smooths relay noise
-    t = run(t)
-    device_sync(t.hashes)
+    codes = jnp.asarray(reads[:BATCH])
+    lens = jnp.asarray(np.full(BATCH, READ_LEN, np.int32))
+    fn = jax.jit(lambda c: MP.sketch_minimizer(spec, c, lens))
+    r = fn(codes)
+    device_sync(r[0])
+    reps = 30
     best = float("inf")
     for _ in range(3):
         t0 = time.monotonic()
-        t = run(t)
-        device_sync(t.hashes)
-        best = min(best, time.monotonic() - t0)
-    n_kmers = int(np.asarray(t.n_filled))
-    return N_READS / best, n_kmers, best
+        for _ in range(reps):
+            r = fn(codes)
+        device_sync(r[0])
+        best = min(best, (time.monotonic() - t0) / reps)
+    return BATCH / best, best
+
+
+def bench_barcodes():
+    """Config #3 semantics: barcodes-mode count + incidence + cluster wall."""
+    import jax
+    from hash10x_tpu.hashspec import HashSpec
+    from hash10x_tpu.engine import Engine, EngineConfig
+    from hash10x_tpu.io.fqb import Fqb
+    from hash10x_tpu.core.encode import pack_2bit
+    from hash10x_tpu.utils.sync import device_sync
+
+    rng = np.random.default_rng(11)
+    genome = rng.integers(0, 4, size=1_000_000).astype(np.uint8)
+    # each barcode covers a contiguous molecule; reads sample within it
+    mol_starts = rng.integers(0, len(genome) - 30_000, size=BC_CODES)
+    bc_ids = np.repeat(np.arange(BC_CODES, dtype=np.int32),
+                       BC_READS // BC_CODES)
+    offs = rng.integers(0, 30_000 - READ_LEN, size=BC_READS)
+    starts = mol_starts[bc_ids] + offs
+    reads = np.stack([genome[s:s + READ_LEN] for s in starts])
+    fqb = Fqb(packed=pack_2bit(reads),
+              lengths=np.full(BC_READS, READ_LEN, np.int32),
+              barcode_ids=bc_ids,
+              barcode_keys=np.arange(BC_CODES, dtype=np.uint32),
+              read_len=READ_LEN)
+
+    def run():
+        cfg = EngineConfig(spec=HashSpec(k=K, w=W, seed=SEED),
+                           count_mode="barcodes", table_bits=20,
+                           batch_reads=BATCH, min_count=2, max_count=64)
+        eng = Engine(cfg, log=None)
+        walls = {}
+        t0 = time.monotonic()
+        eng.count(fqb)
+        device_sync(eng.table.hashes)
+        walls["count_s"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        eng.filter()
+        eng.incidence(fqb)
+        walls["incidence_s"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        eng.cluster()
+        walls["cluster_s"] = round(time.monotonic() - t0, 3)
+        return walls
+
+    run()  # warm
+    return run()
+
+
+def bench_sharded(reads):
+    """The sharded count path at n_shards=1 on the real chip (exercises the
+    all_to_all routing + shard-parallel flush code)."""
+    import jax
+    from hash10x_tpu.hashspec import HashSpec
+    from hash10x_tpu.engine import Engine, EngineConfig
+    from hash10x_tpu.io.fqb import Fqb
+    from hash10x_tpu.core.encode import pack_2bit
+    from hash10x_tpu.utils.sync import device_sync
+
+    packed = pack_2bit(reads)
+    n = len(reads)
+    fqb = Fqb(packed=packed, lengths=np.full(n, READ_LEN, np.int32),
+              barcode_ids=np.zeros(n, np.int32),
+              barcode_keys=np.zeros(1, np.uint32), read_len=READ_LEN)
+
+    def run():
+        cfg = EngineConfig(spec=HashSpec(k=K, w=W, seed=SEED),
+                           count_mode="occurrences", table_bits=20,
+                           batch_reads=BATCH, n_shards=1)
+        eng = Engine(cfg, log=None)
+        t0 = time.monotonic()
+        eng.count(fqb)
+        device_sync(eng.table.hashes)
+        return time.monotonic() - t0
+
+    run()
+    best = min(run() for _ in range(2))
+    return n / best, best
 
 
 def bench_c(reads):
@@ -130,13 +238,42 @@ def bench_c(reads):
 def main():
     reads = make_lane()
     c_rps = bench_c(reads)
-    tpu_rps, n_kmers, dt = bench_tpu(reads)
-    print(f"bench: tpu {tpu_rps:,.0f} reads/s ({N_READS} reads, {n_kmers} kmers, "
-          f"{dt:.2f}s steady-state); C ref {c_rps:,.0f} reads/s", file=sys.stderr)
-    vs = tpu_rps / c_rps if c_rps else 0.0
+    eng_rps, cold_rps, n_kmers, eng_dt = bench_engine(reads)
+    k_rps, k_dt = bench_kernel(reads)
+    k_bps = k_rps * READ_LEN  # input bases (1 B each unpacked) per second
+    points = [
+        {"name": "engine_count_hot", "reads_per_s": round(eng_rps, 1),
+         "wall_s": round(eng_dt, 3), "n_kmers": n_kmers,
+         "note": "device-resident lane (chunk cache); the compute path"},
+        {"name": "engine_count_cold", "reads_per_s": round(cold_rps, 1),
+         "note": "incl. tunnel ingest (~65 MB/s environment artifact)"},
+        {"name": "sketch_kernel", "reads_per_s": round(k_rps, 1),
+         "ms_per_batch": round(k_dt * 1e3, 3),
+         "input_bytes_per_s": round(k_bps, 0),
+         "roofline": f"{k_bps/ (HBM_GBPS*1e9) * 100:.2f}% of {HBM_GBPS:.0f} GB/s "
+                     "HBM on input bytes (kernel is VPU-bound, not HBM-bound)"},
+    ]
+    try:
+        sh_rps, sh_dt = bench_sharded(reads)
+        points.append({"name": "sharded_count_1shard",
+                       "reads_per_s": round(sh_rps, 1),
+                       "wall_s": round(sh_dt, 3)})
+    except Exception as e:
+        print(f"bench: sharded point skipped ({e})", file=sys.stderr)
+    try:
+        walls = bench_barcodes()
+        walls["name"] = "engine_barcodes_32k_reads_1k_codes"
+        points.append(walls)
+    except Exception as e:
+        print(f"bench: barcodes point skipped ({e})", file=sys.stderr)
+
+    print(f"bench: engine {eng_rps:,.0f} reads/s ({N_READS} reads, {n_kmers} "
+          f"kmers, {eng_dt:.2f}s); kernel {k_rps:,.0f} reads/s; "
+          f"C ref {c_rps:,.0f} reads/s", file=sys.stderr)
+    vs = eng_rps / c_rps if c_rps else 0.0
     print(json.dumps({"metric": "count_pass_reads_per_s",
-                      "value": round(tpu_rps, 1), "unit": "reads/s",
-                      "vs_baseline": round(vs, 3)}))
+                      "value": round(eng_rps, 1), "unit": "reads/s",
+                      "vs_baseline": round(vs, 3), "points": points}))
 
 
 if __name__ == "__main__":

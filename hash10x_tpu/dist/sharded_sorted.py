@@ -170,8 +170,9 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         if count_mode == "barcodes":
             # owner-side (hash, barcode) dedup: exact for split barcodes
             fb = recv_bc.reshape(-1)
-            o2 = jnp.lexsort((fb, flat))
-            hs2, bs2 = flat[o2], fb[o2]
+            # two-key lax.sort, not lexsort: argsort+gather lowers as slow
+            # sort-based gather emulation on TPU
+            hs2, bs2 = jax.lax.sort((flat, fb), dimension=0, num_keys=2)
             first = jnp.concatenate([jnp.ones((1,), bool),
                                      (hs2[1:] != hs2[:-1]) | (bs2[1:] != bs2[:-1])])
             first = first & (bs2 >= 0) & (hs2 != _U64MAX)

@@ -23,6 +23,7 @@ reads are grouped so one barcode never straddles a batch, which makes per-batch
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 from dataclasses import dataclass, field
@@ -78,8 +79,9 @@ class EngineConfig:
     min_friend_share: int = 8        # friend mode: barcode-share threshold
     max_friends: int = 0             # 0 = uncapped (scatter-propagation path)
     use_kernel: bool = True          # Pallas sketch kernel when shapes allow
-    emission_cap_factor: int = 4     # per-read emission cap = factor * expected
-                                     # (0 disables compaction); overflow raises
+    emission_cap_factor: int = 4     # batch pre-reduction slots = factor *
+                                     # expected distinct keys (0 = full width);
+                                     # overflow counted exactly and raises
     n_shards: int = 1                # >1: count pass runs sharded over a device
                                      # mesh (dist/sharded_sorted); downstream
                                      # commands consume the gathered table
@@ -97,20 +99,81 @@ class Engine:
         self.split_origin: Optional[np.ndarray] = None
         self.n_reads_counted = 0
         self._read_len = 0
-        self._cap_overflow = jnp.zeros((), jnp.int64)
+        self._cap_overflow = jnp.zeros((), jnp.uint32)
+        self._step_cache = {}
+        self._chunk_cache = {}
         self.timer = StageTimer(log)
+
+    def reset(self) -> None:
+        """Clear analysis state (table, incidence, clusters) but keep compiled
+        steps and cached device-resident read chunks — a re-count of the same
+        lane then skips the host->device ingest entirely."""
+        self.table = None
+        self.retained_hashes = None
+        self.retained_counts = None
+        self.inc = None
+        self.clusters = None
+        self.split_inc = None
+        self.split_origin = None
+        self.n_reads_counted = 0
+        self._cap_overflow = jnp.zeros((), jnp.uint32)
 
     # -- batching ------------------------------------------------------------------
 
-    def _batches(self, fqb: Fqb):
-        """Yield (packed, nmask, lengths, barcode_ids, group) batches of fixed
-        size, grouped so one barcode never straddles a batch (padding rows have
-        length 0, barcode -1).  nmask is None for batches with no invalid (N)
-        bases.  A barcode with more reads than a batch CAN'T be batch-aligned:
-        its reads stream alone as consecutive batches sharing a non-None group
-        id, and the consumer dedups across the group (count) or is order-
-        invariant anyway (incidence's global pair dedup)."""
+    # reads per host->device transfer chunk (multiple batches are then carved
+    # out ON DEVICE): per-batch device_put pays one relay/PCIe round trip each
+    # (~30-50 ms through the tunnel — measured to dominate the count pass);
+    # bulk chunks amortize it ~64x
+    _CHUNK_BATCHES = 64
+    # device bytes of read chunks kept resident for reuse across passes
+    _CHUNK_CACHE_BYTES = 2 << 30
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def _carve(chunk_packed, chunk_lengths, chunk_bcs, bsz: int, off, m):
+        """Slice one fixed-shape batch out of a device-resident chunk and mask
+        the tail rows (rows >= m belong to the next batch's barcode)."""
+        W = chunk_packed.shape[1]
+        pk = jax.lax.dynamic_slice(chunk_packed, (jnp.int32(off), jnp.int32(0)),
+                                   (bsz, W))
+        ln = jax.lax.dynamic_slice(chunk_lengths, (jnp.int32(off),), (bsz,))
+        bc = jax.lax.dynamic_slice(chunk_bcs, (jnp.int32(off),), (bsz,))
+        valid = jnp.arange(bsz, dtype=jnp.int32) < jnp.int32(m)
+        return pk, jnp.where(valid, ln, 0), jnp.where(valid, bc, -1)
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _carve_nmask(chunk_nmask, bsz: int, off, m):
+        Wm = chunk_nmask.shape[1]
+        nm = jax.lax.dynamic_slice(chunk_nmask, (jnp.int32(off), jnp.int32(0)),
+                                   (bsz, Wm))
+        valid = jnp.arange(bsz, dtype=jnp.int32)[:, None] < jnp.int32(m)
+        return jnp.where(valid, nm, 0)
+
+    def _chunks(self, fqb: Fqb):
+        """Yield device-resident transfer chunks with their batch spans.
+
+        Reads transfer in ~``_CHUNK_BATCHES``-batch chunks; fixed-shape batches
+        are carved out ON DEVICE, so the steady-state loop performs no
+        per-batch host->device transfer.  Yields
+        ``(dp, dl, dc, dnm, [(off, m, gid, n_valid, has_short, has_n), ...])``
+        where dp/dl/dc are the chunk's packed/lengths/barcode arrays (padded by
+        one batch of masked rows), dnm its N-mask (or None), and each span is
+        one batch: offset into the chunk, m valid rows, oversized-barcode group
+        id (None normally), n_valid reads with length > 0, has_short whether
+        the Pallas kernel would skip reads, has_n whether the span has N bases
+        — all host-computed so consumers never sync.
+
+        Chunks are cached on device (keyed by the Fqb object) up to
+        ``_CHUNK_CACHE_BYTES``, so a second pass over the same lane — the
+        incidence build always is one — skips the host->device ingest
+        entirely."""
         bsz = self.cfg.batch_reads
+        cache_key = (id(fqb), len(fqb), bsz)
+        cached = self._chunk_cache.get(cache_key)
+        if cached is not None:
+            yield from cached[1]
+            return
         order = np.argsort(fqb.barcode_ids, kind="stable")
         packed_all = fqb.packed[order]
         lengths_all = fqb.lengths[order]
@@ -143,40 +206,92 @@ class Engine:
             spans.append((i, j, None))
             i = j
         W = packed_all.shape[1]
-        import jax
-        pending = None
-        for a, b, g in spans:
-            m = b - a
-            packed = np.zeros((bsz, W), np.uint32)
-            lengths = np.zeros(bsz, np.int32)
-            bcs = np.full(bsz, -1, np.int32)
-            packed[:m] = packed_all[a:b]
-            lengths[:m] = lengths_all[a:b]
-            bcs[:m] = bc_all[a:b]
-            nmask = None
-            if nmask_all is not None and nmask_all[a:b].any():
-                nmask = np.zeros((bsz, nmask_all.shape[1]), np.uint32)
-                nmask[:m] = nmask_all[a:b]
-            nxt = (jax.device_put(packed), nmask, lengths, bcs, g)
-            if pending is not None:
-                yield pending
-            pending = nxt
-        if pending is not None:
-            yield pending
+        k, w = self.cfg.spec.k, self.cfg.spec.w
 
-    def _sketch_flat(self, packed, nmask, lengths, bcs):
+        # group spans into transfer chunks of ~_CHUNK_BATCHES batches
+        chunk_reads = bsz * self._CHUNK_BATCHES
+        chunks = []  # (ca, cb, [spans])
+        cur = []
+        ca = 0
+        for s in spans:
+            if cur and s[1] - ca > chunk_reads:
+                chunks.append((ca, cur[-1][1], cur))
+                cur = []
+                ca = s[0]
+            cur.append(s)
+        if cur:
+            chunks.append((ca, cur[-1][1], cur))
+
+        built = []
+        built_bytes = 0
+        for ca, cb, chunk_spans in chunks:
+            # physical chunk rows: power-of-two batch count + one batch of
+            # padding, so (a) a fixed-size slice at any span start is in-bounds
+            # and (b) chunk shapes fall into <= log2(_CHUNK_BATCHES) size
+            # classes — each distinct shape retraces _carve, and remote
+            # compiles are expensive; padded rows are length 0 / barcode -1
+            nb = max(1, -(-(cb - ca) // bsz))
+            rows = (1 << (nb - 1).bit_length()) * bsz + bsz
+            cp = np.zeros((rows, W), np.uint32)
+            cl = np.zeros(rows, np.int32)
+            cc = np.full(rows, -1, np.int32)
+            cp[:cb - ca] = packed_all[ca:cb]
+            cl[:cb - ca] = lengths_all[ca:cb]
+            cc[:cb - ca] = bc_all[ca:cb]
+            dp = jax.device_put(cp)
+            dl = jax.device_put(cl)
+            dc = jax.device_put(cc)
+            dnm = None
+            if nmask_all is not None and nmask_all[ca:cb].any():
+                cm = np.zeros((rows, nmask_all.shape[1]), np.uint32)
+                cm[:cb - ca] = nmask_all[ca:cb]
+                dnm = jax.device_put(cm)
+            span_meta = []
+            for a, b, g in chunk_spans:
+                seg = lengths_all[a:b]
+                n_valid = int((seg > 0).sum())
+                P_i = seg.astype(np.int64) - k + 1
+                has_short = bool(((P_i > 0) & (P_i < w)).any())
+                has_n = bool(nmask_all is not None and nmask_all[a:b].any())
+                span_meta.append((a - ca, b - a, g, n_valid, has_short, has_n))
+            entry = (dp, dl, dc, dnm, span_meta)
+            built.append(entry)
+            built_bytes += dp.nbytes + dl.nbytes + dc.nbytes + \
+                (dnm.nbytes if dnm is not None else 0)
+            yield entry
+        if built_bytes <= self._CHUNK_CACHE_BYTES:
+            # pin the Fqb so id() cannot be recycled while the cache lives
+            self._chunk_cache[cache_key] = (fqb, built)
+
+    def _batches(self, fqb: Fqb):
+        """Yield (packed, nmask, lengths, barcode_ids, (gid, n_valid,
+        has_short)) fixed-size batches carved on device from bulk-transferred
+        chunks; padding rows have length 0 and barcode -1.  A barcode with more
+        reads than a batch streams alone as consecutive batches sharing a
+        non-None gid; the consumer dedups across the group."""
+        bsz = self.cfg.batch_reads
+        for dp, dl, dc, dnm, span_meta in self._chunks(fqb):
+            for off, m, g, n_valid, has_short, has_n in span_meta:
+                pk, ln, bc = self._carve(dp, dl, dc, bsz, off, m)
+                nm = self._carve_nmask(dnm, bsz, off, m) if has_n else None
+                yield pk, nm, ln, bc, (g, n_valid, has_short)
+
+    def _sketch_flat(self, packed, nmask, lengths, bcs, has_short=None):
         """Sketch one batch -> flat (hashes u64 (M,), bc int32 (M,)) with U64MAX pads.
 
         Batches arrive 2-bit packed (4x smaller transfers); unpack runs on
         device.  Uses the fused Pallas kernel for the minimizer path when shapes
         allow; batches containing short reads (0 < P_i < w, which the kernel
         skips) or invalid (N) bases (the kernel needs codes in [0,3]) fall back
-        to the jnp path so emission stays exact."""
+        to the jnp path so emission stays exact.  ``has_short`` comes from the
+        batch metadata when lengths are device-resident (reading them back
+        would stall the async pipeline)."""
         from .core.encode import unpack_2bit_jnp
         spec = self.cfg.spec
         codes = unpack_2bit_jnp(packed, self._read_len, nmask)
-        P_i = lengths - spec.k + 1
-        has_short = bool(((P_i > 0) & (P_i < spec.w)).any())
+        if has_short is None:
+            P_i = np.asarray(lengths) - spec.k + 1
+            has_short = bool(((P_i > 0) & (P_i < spec.w)).any())
         if (self.cfg.use_kernel and self.cfg.mode == "minimizer"
                 and not has_short and nmask is None
                 and minimizer_pallas.supported(spec, codes.shape)):
@@ -187,75 +302,68 @@ class Engine:
                                             syncmer_s=self.cfg.syncmer_s)
         P = h.shape[1]
         keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
-        cf = self.cfg.emission_cap_factor
-        if cf and self.cfg.mode == "minimizer" and spec.w > 1:
-            # compact emissions per read: row sort brings emitted hashes to the
-            # front; cap with exact overflow accounting (checked after count())
-            cap = min(P, cf * (2 * P // (spec.w + 1)) + cf)
-            packed = jnp.sort(keyed, axis=1)[:, :cap]
-            self._cap_overflow = self._cap_overflow + jnp.sum(
-                emit.sum(axis=1) > cap)
-            flat_h = packed.reshape(-1)
-            flat_bc = jnp.broadcast_to(jnp.asarray(bcs)[:, None],
-                                       (len(bcs), cap)).reshape(-1)
-            return flat_h, flat_bc
         flat_h = keyed.reshape(-1)
         flat_bc = jnp.broadcast_to(jnp.asarray(bcs)[:, None], (len(bcs), P)).reshape(-1)
         return flat_h, flat_bc
 
+    def _dedup_slots(self, n_flat: int, P: int) -> int:
+        """Static slot count for per-batch pre-reduction: the number of
+        *distinct* keys a batch may produce.  For minimizers the expected
+        emission count is B*2P/(w+1); distinct keys are fewer still, so
+        ``emission_cap_factor`` x expected is generous headroom — overflow is
+        counted exactly and raises (never silent).  Other modes get full width
+        (no bound assumed)."""
+        cf = self.cfg.emission_cap_factor
+        spec = self.cfg.spec
+        if cf and self.cfg.mode == "minimizer" and spec.w > 1:
+            B = n_flat // P
+            expected = B * (2 * P // (spec.w + 1) + 1)
+            return min(n_flat, ((cf * expected + 1023) // 1024) * 1024)
+        return n_flat
+
     # -- table plumbing (sorted-run table with host-scheduled flush/growth) --------
 
     def _ensure_table(self, emission_width: int) -> None:
+        """Create the count table sized so flushes are RARE: the buffer holds
+        ~8 batches of appends (each flush costs one host sync for capacity
+        adoption — see st.flush_grow — plus a full merge sort, so amortizing
+        over many batches matters).  Capacity then follows the data; table_bits
+        is only the starting point, not a tuning knob."""
         if self.table is None:
             cap = 1 << self.cfg.table_bits
-            buf_cap = max(cap, 1 << (emission_width - 1).bit_length())
+            buf_cap = max(cap, 1 << (16 * emission_width - 1).bit_length())
             self.table = st.make_sorted_table(cap, buf_cap)
 
-    def _append(self, flat_h: jnp.ndarray) -> None:
+    def _pre_append(self, n: int) -> None:
+        """Make room for n more buffered entries.  flush_grow merges at full
+        width (it can never spill) and re-homes the table at the capacity the
+        data needs, so the steady-state loop is pure async enqueue between
+        rare flushes."""
         t = self.table
-        n = flat_h.shape[0]
         if t.buf_n + n > t.buf.shape[0]:
-            t = st.flush(t)
-            if int(np.asarray(t.spilled)):
-                raise RuntimeError(
-                    f"count table spilled {int(np.asarray(t.spilled))} kmers; "
-                    "raise --tableBits")
-            if int(np.asarray(t.n_filled)) > 0.75 * t.capacity:
-                t = st.grow(t, t.capacity * 2,
-                            buf_capacity=max(t.buf.shape[0], t.capacity))
-                if self.timer.log is not None:
-                    self.timer.log.write(
-                        f"[table grown to {t.capacity} entries]\n")
-        self.table = st.append(t, flat_h)
+            self.table = st.flush_grow(t)
+
+    def _append(self, flat_h: jnp.ndarray, weights=None) -> None:
+        n = flat_h.shape[0]
+        self._pre_append(n)
+        if weights is None:
+            self.table = st.append(self.table, flat_h)
+        else:
+            self.table = st.append_pairs(self.table, flat_h, weights)
 
     def _flushed(self) -> st.SortedTable:
         if self.table is None:
             self._ensure_table(1)
-        self.table = st.flush(self.table)
+        self.table = st.flush_grow(self.table)
         return self.table
 
     # -- commands ------------------------------------------------------------------
-
-    @staticmethod
-    @jax.jit
-    def _dedup_pairs(flat_h, flat_bc):
-        """Per-batch (hash, barcode) dedup: non-first duplicates -> U64MAX."""
-        order = jnp.lexsort((flat_bc, flat_h))
-        hs = flat_h[order]
-        bs = flat_bc[order]
-        first = jnp.concatenate([jnp.ones((1,), bool),
-                                 (hs[1:] != hs[:-1]) | (bs[1:] != bs[:-1])])
-        first = first & (bs >= 0)
-        return jnp.where(first, hs, jnp.uint64(U64MAX))
 
     def _finish_group(self, gtab: "st.SortedTable") -> None:
         """Flush an oversized-barcode dedup table into the main count table:
         its compacted keys are the barcode's distinct hashes, each appended
         once (padded to a power of two so append shapes stay cacheable)."""
-        gtab = st.flush(gtab)
-        if int(np.asarray(gtab.spilled)):
-            raise RuntimeError("oversized-barcode dedup table spilled; "
-                               "raise --tableBits")
+        gtab = st.flush_grow(gtab)
         keys, _ = st.compact(gtab)
         if len(keys) == 0:
             return
@@ -264,50 +372,139 @@ class Engine:
         self._ensure_table(len(padded))
         self._append(jnp.asarray(padded))
 
+    def _batch_keys(self, flat_h, flat_bc):
+        """Per-batch reduction of flat emissions to buffered (keys, weights).
+
+        barcodes mode: (hash, barcode) pre-reduction on device — (distinct key,
+        n-distinct-barcodes) pairs; required for barcode-count semantics, and
+        the buffer then holds ~n_distinct entries instead of ~n_emissions so
+        LSM flushes are ~4x rarer.  occurrences mode: raw emissions — measured
+        FASTER than pre-reducing here (the per-batch sort pair costs more than
+        the flush merge saves at a 16-batch buffer ratio), and there is no
+        overflow to track."""
+        if self.cfg.count_mode == "barcodes":
+            slots = self._dedup_slots(flat_h.shape[0],
+                                      flat_h.shape[0] // self.cfg.batch_reads)
+            return st.dedup_pairs_weighted(flat_h, flat_bc, slots)
+        return flat_h, None, jnp.zeros((), jnp.uint32)
+
+    def _fused_count_step(self, with_nmask: bool, use_kernel: bool):
+        """One jit for the whole per-batch count pipeline: unpack, sketch,
+        pre-reduce, and write the append buffer — a single dispatch per batch
+        (the op-by-op path paid ~10 relay/PCIe dispatches per batch with no
+        cross-op fusion, which dominated the count pass)."""
+        cfg = self.cfg
+        key = ("count_step", with_nmask, use_kernel, cfg.count_mode,
+               cfg.batch_reads, self._read_len, cfg.mode, cfg.modulus,
+               cfg.syncmer_s)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        from .core.encode import unpack_2bit_jnp
+        spec = cfg.spec
+        bsz = cfg.batch_reads
+        read_len = self._read_len
+
+        def core(buf, bufw, pk, ln, bc, nm, buf_n, over):
+            codes = unpack_2bit_jnp(pk, read_len, nm)
+            if use_kernel:
+                h, _, emit = minimizer_pallas.sketch_minimizer(spec, codes, ln)
+            else:
+                h, _, emit = seqhash_jnp.sketch(spec, codes, ln, mode=cfg.mode,
+                                                m=cfg.modulus,
+                                                syncmer_s=cfg.syncmer_s)
+            P = h.shape[1]
+            keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
+            flat_h = keyed.reshape(-1)
+            flat_bc = jnp.broadcast_to(bc[:, None], (bsz, P)).reshape(-1)
+            keys, wts, o = self._batch_keys(flat_h, flat_bc)
+            if wts is None:
+                buf, bufw = st._buf_write.__wrapped__(buf, bufw, keys, buf_n)
+            else:
+                buf, bufw = st._buf_write_pairs.__wrapped__(
+                    buf, bufw, keys, wts, buf_n)
+            return buf, bufw, over + o
+
+        if with_nmask:
+            def body(buf, bufw, pk, ln, bc, nm, buf_n, over):
+                return core(buf, bufw, pk, ln, bc, nm, buf_n, over)
+        else:
+            def body(buf, bufw, pk, ln, bc, buf_n, over):
+                return core(buf, bufw, pk, ln, bc, None, buf_n, over)
+
+        fn = jax.jit(body, donate_argnums=(0, 1))
+        # entries appended per call (static)
+        P = read_len - spec.k + 1
+        fn.n_appended = (self._dedup_slots(bsz * P, P)
+                         if cfg.count_mode == "barcodes" else bsz * P)
+        self._step_cache[key] = fn
+        return fn
+
     def count(self, fqb: Fqb) -> None:
         """Count pass: stream reads through the sketch into the count table.
 
-        Oversized barcodes (more reads than a batch) arrive as tagged batch
-        groups; in barcodes mode their hashes dedup across the group through a
-        side sorted-table before entering the main table, so counts stay exact
-        (the round-1 path raised instead — real lanes contain pathological
-        barcodes)."""
+        The steady state is fully asynchronous: one fused jit dispatch per
+        batch appending into the device-resident buffer, host-scheduled LSM
+        flushes, and occupancy growth decisions from a host-side upper bound —
+        no device readback per batch (see _append).  Oversized barcodes (more
+        reads than a batch) arrive as tagged batch groups; in barcodes mode
+        their hashes dedup across the group through a side sorted-table before
+        entering the main table, so counts stay exact (the round-1 path raised
+        instead — real lanes contain pathological barcodes)."""
         if self.cfg.n_shards > 1:
             return self._count_sharded(fqb)
         self._read_len = fqb.read_len
-        self._cap_overflow = jnp.zeros((), jnp.int64)
+        self._cap_overflow = jnp.zeros((), jnp.uint32)
         cur_gid, gtab = None, None
-        for packed, nmask, lengths, bcs, gid in self._batches(fqb):
-            flat_h, flat_bc = self._sketch_flat(packed, nmask, lengths, bcs)
-            self._ensure_table(flat_h.shape[0])
+        cfg = self.cfg
+        bsz = cfg.batch_reads
+        spec = cfg.spec
+        for packed, nmask, lengths, bcs, meta in self._batches(fqb):
+            gid, n_valid, has_short = meta
+            self.n_reads_counted += n_valid
             if gid != cur_gid and gtab is not None:
                 self._finish_group(gtab)
                 gtab = None
             cur_gid = gid
-            if self.cfg.count_mode == "barcodes":
-                hs = self._dedup_pairs(flat_h, flat_bc)
-                if gid is not None:
-                    # oversized barcode: dedup across its batches via a side
-                    # table; distinct hashes enter the main table at group end
-                    if gtab is None:
-                        w = int(hs.shape[0])
-                        gtab = st.make_sorted_table(2 * w, 2 * w)
-                    if gtab.buf_n + hs.shape[0] > gtab.buf.shape[0]:
-                        gtab = st.flush(gtab)
-                        if int(np.asarray(gtab.n_filled)) > 0.75 * gtab.capacity:
-                            gtab = st.grow(gtab, gtab.capacity * 2)
-                    gtab = st.append(gtab, hs)
-                else:
-                    self._append(hs)
-            else:
-                self._append(flat_h)
-            self.n_reads_counted += int((lengths > 0).sum())
+            if gid is None or cfg.count_mode != "barcodes":
+                # fast path: one fused dispatch into the main buffer
+                use_kernel = (cfg.use_kernel and cfg.mode == "minimizer"
+                              and not has_short and nmask is None
+                              and minimizer_pallas.supported(
+                                  spec, (bsz, self._read_len)))
+                step = self._fused_count_step(nmask is not None, use_kernel)
+                self._ensure_table(step.n_appended)
+                self._pre_append(step.n_appended)
+                t = self.table
+                args = (t.buf, t.bufw, packed, lengths, bcs)
+                if nmask is not None:
+                    args = args + (nmask,)
+                buf, bufw, over = step(*args, jnp.int32(t.buf_n),
+                                       self._cap_overflow)
+                self.table = st.SortedTable(t.hashes, t.counts, buf, bufw,
+                                            t.buf_n + step.n_appended,
+                                            t.spilled)
+                self._cap_overflow = over
+                continue
+            # oversized barcode in barcodes mode: dedup across its batches via
+            # a side table; distinct hashes enter the main table at group end
+            flat_h, flat_bc = self._sketch_flat(packed, nmask, lengths, bcs,
+                                                has_short=has_short)
+            keys, wts, over = self._batch_keys(flat_h, flat_bc)
+            self._cap_overflow = self._cap_overflow + over
+            self._ensure_table(keys.shape[0])
+            if gtab is None:
+                w = int(keys.shape[0])
+                gtab = st.make_sorted_table(2 * w, 2 * w)
+            if gtab.buf_n + keys.shape[0] > gtab.buf.shape[0]:
+                gtab = st.flush_grow(gtab)
+            gtab = st.append_pairs(gtab, keys, wts)
         if gtab is not None:
             self._finish_group(gtab)
         if int(np.asarray(self._cap_overflow)):
             raise RuntimeError(
-                f"{int(np.asarray(self._cap_overflow))} reads exceeded the "
-                "per-read emission cap; raise emission_cap_factor")
+                f"batch pre-reduction overflowed its {self.cfg.emission_cap_factor}x "
+                "distinct-key headroom; raise emission_cap_factor")
         t = self._flushed()
         self.timer.stage(f"count: {self.n_reads_counted} reads, "
                          f"{int(np.asarray(t.n_filled))} kmers, "
@@ -336,14 +533,16 @@ class Engine:
         width = step.recv_width(cfg.batch_reads, fqb.read_len)
         dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
                                    spec=cfg.spec)
-        for packed, nmask, lengths, bcs, gid in self._batches(fqb):
+        for packed, nmask, lengths, bcs, meta in self._batches(fqb):
+            gid, n_valid, has_short = meta
             if gid is not None and cfg.count_mode == "barcodes":
                 raise RuntimeError(
                     "a barcode has more reads than --batchReads; the sharded "
                     "count path dedups per step only — raise --batchReads "
                     "(the single-device path handles oversized barcodes)")
-            dt = step(dt, packed, lengths, bcs, nmask=nmask)
-            self.n_reads_counted += int((lengths > 0).sum())
+            dt = step(dt, packed, lengths, bcs, nmask=nmask,
+                      force_jnp=has_short or nmask is not None)
+            self.n_reads_counted += n_valid
         dt = step.finish(dt)
         drops = int(np.asarray(dt.route_drops).sum())
         if drops:
@@ -414,41 +613,37 @@ class Engine:
         if self.retained_hashes is None:
             self.filter()
         self._read_len = fqb.read_len
-        self._cap_overflow = jnp.zeros((), jnp.int64)
+        self._cap_overflow = jnp.zeros((), jnp.uint32)
         n_kmers = len(self.retained_hashes)
         retained_d = jnp.asarray(self.retained_hashes)
         nk_u = jnp.uint64(max(n_kmers, 1))
         pt = None
+        bsz = self.cfg.batch_reads
         # group tags are irrelevant here: the pair table dedups globally
-        for packed, nmask, lengths, bcs, _gid in self._batches(fqb):
-            flat_h, flat_bc = self._sketch_flat(packed, nmask, lengths, bcs)
-            keys = pair_keys_jit(retained_d, flat_h, flat_bc, nk_u)
+        for packed, nmask, lengths, bcs, meta in self._batches(fqb):
+            flat_h, flat_bc = self._sketch_flat(packed, nmask, lengths, bcs,
+                                                has_short=meta[2])
+            raw = pair_keys_jit(retained_d, flat_h, flat_bc, nk_u)
+            slots = self._dedup_slots(flat_h.shape[0], flat_h.shape[0] // bsz)
+            keys, _, over = st.dedup_weighted(raw, slots)
+            self._cap_overflow = self._cap_overflow + over
             n = int(keys.shape[0])
             if pt is None:
                 cap = max(1 << self.cfg.table_bits,
                           1 << (2 * n - 1).bit_length())
-                pt = st.make_sorted_table(cap, max(cap, 2 * n))
+                # buffer ~8 batches so flush_grow's per-flush sync amortizes
+                pt = st.make_sorted_table(cap, max(cap, 8 * n))
             if pt.buf_n + n > pt.buf.shape[0]:
-                pt = st.flush(pt)
-                if int(np.asarray(pt.spilled)):
-                    raise RuntimeError("incidence pair table spilled; "
-                                       "raise --tableBits")
-                if int(np.asarray(pt.n_filled)) > 0.75 * pt.capacity:
-                    pt = st.grow(pt, pt.capacity * 2,
-                                 buf_capacity=max(pt.buf.shape[0], pt.capacity))
+                pt = st.flush_grow(pt)
             pt = st.append(pt, keys)
         if int(np.asarray(self._cap_overflow)):
             raise RuntimeError(
-                f"{int(np.asarray(self._cap_overflow))} reads exceeded the "
-                "per-read emission cap during incidence; raise "
-                "emission_cap_factor")
+                "incidence batch pre-reduction overflowed its distinct-key "
+                "headroom; raise emission_cap_factor")
         if pt is None:
             pair_keys = np.zeros(0, np.uint64)
         else:
-            pt = st.flush(pt)
-            if int(np.asarray(pt.spilled)):
-                raise RuntimeError("incidence pair table spilled; "
-                                   "raise --tableBits")
+            pt = st.flush_grow(pt)
             pair_keys, _ = st.compact(pt)
         self.inc = incidence_from_sorted_pairs(
             pair_keys, n_kmers=n_kmers, n_codes=fqb.n_barcodes)

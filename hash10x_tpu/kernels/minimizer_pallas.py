@@ -6,16 +6,23 @@ fused kernel, the "rolling seqhash → vectorized Pallas kernel" mandated by
 BASELINE.json.  Bit-identical to ``core/seqhash_jnp.py`` / the scalar oracle
 (tests enforce it).
 
-Design (v5e):
+Design (v5e) — fully position-parallel, no sequential loops:
 
 * **Layout**: reads live in *lanes*.  The (B, L) byte matrix is transposed to
-  (L, B//128, 128) so one column step is a full (8, 128) vreg per 1024-read
+  (L, B//128, 128) so one position step is a full (8, 128) vreg per 1024-read
   block.  Outputs are (P, B//128, 128).
-* **Phase 1 — column scan**: a ``fori_loop`` over the L columns rolls the
-  forward/RC 2k-bit codes as (hi, lo) u32 pairs (no 64-bit types on TPU), mixes
-  with ``factor1`` via 16-bit-split multiplies (the exact ``(x*factor1)>>shift1``
-  of hashspec.py, mod 2^64), canonicalizes (min of fwd/RC, ties to RC), and
-  stores (hash_hi, hash_lo, is_forward) per k-mer position in VMEM scratch.
+* **Phase 1 — doubling scan** (replaces the rolling-hash column loop, which was
+  latency-bound at ~30 ms/8192 reads; this is ~30x faster): the 2k-bit forward
+  k-mer code at every position is built by log-step doubling — F_{m+n}[p] =
+  F_n[p] << 2m | F_m[p+n] over (hi, lo) u32 pairs — following the binary
+  decomposition of k (~log2 k + popcount k combines, each a handful of
+  elementwise shift/or ops over (L, 8, 128) arrays).  The reverse-complement
+  code is NOT scanned separately: R_k[p] is the 2-bit-group reversal of the
+  complement of F_k[p] (complement = XOR with the 2k-bit mask; reversal = 4
+  masked swap steps per word + a word swap + a final >> (64-2k)).  Both codes
+  mix with ``factor1`` via 16-bit-split multiplies (the exact
+  ``(x*factor1)>>shift1`` of hashspec.py, mod 2^64) and canonicalize (min of
+  fwd/RC, ties to RC).
 * **Phase 2 — window argmin, position-parallel**: log-step sliding-min tree over
   (value, index) with leftmost tie-break; window-of-w argmin from the largest
   power-of-two level a via ``lexmin(M_a[s], M_a[s+w-a])``; emission mask by w
@@ -84,6 +91,33 @@ def _mix_shift(x_hi, x_lo, factor: int, shift1: int):
     return p_hi >> shift1, (p_lo >> shift1) | (p_hi << (32 - shift1))
 
 
+def _pair_shl(hi, lo, s: int):
+    """(hi:lo) << s for static s in [0, 64)."""
+    if s == 0:
+        return hi, lo
+    if s >= 32:
+        return lo << (s - 32) if s > 32 else lo, jnp.zeros_like(lo)
+    return (hi << s) | (lo >> (32 - s)), lo << s
+
+
+def _pair_shr(hi, lo, s: int):
+    """(hi:lo) >> s for static s in [0, 64)."""
+    if s == 0:
+        return hi, lo
+    if s >= 32:
+        return jnp.zeros_like(hi), hi >> (s - 32) if s > 32 else hi
+    return hi >> s, (lo >> s) | (hi << (32 - s))
+
+
+def _rev2_word(x):
+    """Reverse the 16 2-bit groups within one u32 word (4 masked swaps)."""
+    x = ((x & jnp.uint32(0xCCCCCCCC)) >> 2) | ((x & jnp.uint32(0x33333333)) << 2)
+    x = ((x & jnp.uint32(0xF0F0F0F0)) >> 4) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x & jnp.uint32(0xFF00FF00)) >> 8) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    x = (x >> 16) | (x << 16)
+    return x
+
+
 def _lexlt(a_hi, a_lo, b_hi, b_lo):
     return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
 
@@ -99,120 +133,110 @@ def _lexmin3(a, b):
             jnp.where(take_a, a_i, b_i))
 
 
+def _fwd_codes(b, k: int, L: int):
+    """Forward 2k-bit k-mer codes at every position via log-step doubling.
+
+    b: (L, S, 128) u32 base codes in [0,3].  Returns (hi, lo) u32 arrays of
+    length >= P = L-k+1 (tail positions carry garbage; callers mask).
+    F_m[p] = sum_{i<m} b[p+i] << 2(m-1-i); combine F_{2^j+mlow}[p] =
+    F_{2^j}[p] << 2*mlow | F_mlow[p + 2^j] following k's bits LSB->MSB.
+    """
+    d_hi, d_lo = jnp.zeros_like(b), b          # D_0 = F_1, valid [0, L-1]
+    acc = None                                  # (hi, lo, mlow)
+    step = 1                                    # 2^j
+    kk = k
+    while True:
+        if kk & 1:
+            if acc is None:
+                acc = (d_hi, d_lo, step)
+            else:
+                a_hi, a_lo, mlow = acc
+                s_hi, s_lo = _pair_shl(d_hi, d_lo, 2 * mlow)
+                n = min(a_hi.shape[0] - step, s_hi.shape[0])
+                acc = (s_hi[:n] | a_hi[step:step + n],
+                       s_lo[:n] | a_lo[step:step + n], mlow + step)
+        kk >>= 1
+        if not kk:
+            break
+        # double: D_{j+1}[p] = D_j[p] << 2*2^j | D_j[p + 2^j]
+        s_hi, s_lo = _pair_shl(d_hi, d_lo, 2 * step)
+        n = d_hi.shape[0] - step
+        d_hi = s_hi[:n] | d_hi[step:]
+        d_lo = s_lo[:n] | d_lo[step:]
+        step *= 2
+    return acc[0], acc[1]
+
+
 def _make_kernel(spec: HashSpec, L: int):
     k, w = spec.k, spec.w
     P = L - k + 1
-    Ppad = P + w  # INF tail so shifted slices never read out of bounds
     factor = spec.factor1
     shift1 = spec.shift1
     kb = 2 * k  # total code bits
     hi_mask = (1 << max(kb - 32, 0)) - 1 if kb > 32 else 0
     lo_mask = (1 << min(kb, 32)) - 1
-    rc_top = 2 * (k - 1)  # bit position of patternRC complement
 
     # largest power of two <= w (window tree root); w == 1 handled separately
     a_pow = 1
     while a_pow * 2 <= w:
         a_pow *= 2
 
-    def kernel(codes_ref, len_ref, hi_ref, lo_ref, flags_ref,
-               vh, vl, vf, mh, ml, mi):
+    def kernel(codes_ref, len_ref, hi_ref, lo_ref, flags_ref):
         # codes_ref (L, 8, 128) u32; len_ref (8,128) i32
         # outputs: hi/lo (P,8,128) u32, flags (P,8,128) u32 (bit0 emit, bit1 fwd)
-        # scratch: vh/vl (Ppad,8,128) u32 canonical hash, vf u32 fwd flag,
-        #          mh/ml/mi (Ppad,8,128) u32 window-min tree (value+index)
-
+        b = codes_ref[...]
         lens = len_ref[...]
         last_pos = lens - k  # max valid k-mer position, may be negative
 
-        def roll_step(carry, c):
-            h_hi, h_lo, r_hi, r_lo = carry
-            # forward: h = ((h << 2) | c) & mask(2k)
-            n_hi = ((h_hi << 2) | (h_lo >> 30))
-            n_lo = (h_lo << 2) | c
-            if hi_mask:
-                n_hi = n_hi & jnp.uint32(hi_mask)
-            else:
-                n_hi = jnp.zeros_like(n_hi)
-            n_lo = n_lo & jnp.uint32(lo_mask)
-            # reverse-complement: hRC = (hRC >> 2) | ((3-c) << 2(k-1))
-            comp = jnp.uint32(3) - c
-            if rc_top >= 32:
-                q_lo = (r_lo >> 2) | (r_hi << 30)
-                q_hi = (r_hi >> 2) | (comp << (rc_top - 32))
-            else:
-                q_lo = ((r_lo >> 2) | (r_hi << 30)) | (comp << rc_top)
-                q_hi = r_hi >> 2
-            return n_hi, n_lo, q_hi, q_lo
+        # ---- phase 1: parallel code construction + mix + canonicalize ----
+        f_hi, f_lo = _fwd_codes(b, k, L)
+        f_hi, f_lo = f_hi[:P], f_lo[:P]
+        # reverse-complement code: complement (XOR the 2k-bit mask), reverse
+        # the 32 2-bit groups of the 64-bit pair (per-word reversal + word
+        # swap), then drop the 64-2k low garbage bits
+        c_hi = f_hi ^ jnp.uint32(hi_mask)
+        c_lo = f_lo ^ jnp.uint32(lo_mask)
+        r_hi, r_lo = _pair_shr(_rev2_word(c_lo), _rev2_word(c_hi), 64 - kb)
 
-        # prologue: first k-1 bases (static column reads, carry only — Mosaic
-        # cannot lower a scalar max/clamp in the dynamic loop, so avoid needing one)
-        z = jnp.zeros((_SUB, _LANES), jnp.uint32)
-        carry = (z, z, z, z)
-        for i in range(k - 1):
-            carry = roll_step(carry, codes_ref[i])
+        hf_hi, hf_lo = _mix_shift(f_hi, f_lo, factor, shift1)
+        hr_hi, hr_lo = _mix_shift(r_hi, r_lo, factor, shift1)
+        fwd = _lexlt(hf_hi, hf_lo, hr_hi, hr_lo)
+        vh = jnp.where(fwd, hf_hi, hr_hi)
+        vl = jnp.where(fwd, hf_lo, hr_lo)
+        vf = jnp.where(fwd, _U1, _U0)
 
-        # while_loop with an explicit int32 counter: under jax_enable_x64,
-        # fori_loop's induction variable is int64 and every scalar op on it
-        # hits a Mosaic convert_element_type lowering bug (infinite recursion)
-        def cond(state):
-            return state[0] < np.int32(P)
-
-        def col(state):
-            p, carry = state
-            c = codes_ref[pl.ds(p + (k - 1), 1)][0]
-            carry = roll_step(carry, c)
-            n_hi, n_lo, q_hi, q_lo = carry
-            hf_hi, hf_lo = _mix_shift(n_hi, n_lo, factor, shift1)
-            hr_hi, hr_lo = _mix_shift(q_hi, q_lo, factor, shift1)
-            fwd = _lexlt(hf_hi, hf_lo, hr_hi, hr_lo)
-            ch = jnp.where(fwd, hf_hi, hr_hi)
-            cl = jnp.where(fwd, hf_lo, hr_lo)
-            vh[pl.ds(p, 1)] = ch[None]
-            vl[pl.ds(p, 1)] = cl[None]
-            vf[pl.ds(p, 1)] = jnp.where(fwd, _U1, _U0)[None]
-            return (p + np.int32(1), carry)
-
-        jax.lax.while_loop(cond, col, (np.int32(0), carry))
-
-        # mask positions beyond each read's end (array-vs-array compare — a
-        # scalar-vs-array compare inside the loop also fails to lower), and
-        # INF-pad the tail
+        # mask positions beyond each read's end; INF-pad a w-deep tail so
+        # shifted slices in the window tree never read out of bounds
         pmask = jax.lax.broadcasted_iota(jnp.int32, (P, _SUB, _LANES), 0) \
             <= last_pos[None]
-        vh[0:P] = jnp.where(pmask, vh[0:P], _INF)
-        vl[0:P] = jnp.where(pmask, vl[0:P], _INF)
-        for p in range(P, Ppad):
-            vh[p] = jnp.full((_SUB, _LANES), _INF, jnp.uint32)
-            vl[p] = jnp.full((_SUB, _LANES), _INF, jnp.uint32)
+        vh = jnp.where(pmask, vh, _INF)
+        vl = jnp.where(pmask, vl, _INF)
+        inf_tail = jnp.full((w, _SUB, _LANES), _INF, jnp.uint32)
+        mh = jnp.concatenate([vh, inf_tail], axis=0)
+        ml = jnp.concatenate([vl, inf_tail], axis=0)
 
         if w == 1:
-            emit1 = (vh[0:P] != _INF) | (vl[0:P] != _INF)
-            flags_ref[...] = jnp.where(emit1, _U1, _U0) | (vf[0:P] << 1)
-            hi_ref[...] = vh[0:P]
-            lo_ref[...] = vl[0:P]
+            emit1 = (vh != _INF) | (vl != _INF)
+            flags_ref[...] = jnp.where(emit1, _U1, _U0) | (vf << 1)
+            hi_ref[...] = vh
+            lo_ref[...] = vl
             return
 
-        # ---- window-min tree over (value, index), leftmost tie-break ----
-        pidx = jax.lax.broadcasted_iota(jnp.int32, (Ppad, _SUB, _LANES), 0)
-        mh[...] = vh[...]
-        ml[...] = vl[...]
-        mi[...] = pidx
+        # ---- phase 2: window-min tree over (value, index), leftmost ties ----
+        Ppad = P + w
+        mi = jax.lax.broadcasted_iota(jnp.int32, (Ppad, _SUB, _LANES), 0)
+        n = Ppad
         s = 1
         while s < a_pow:
-            nh, nl, ni = _lexmin3(
-                (mh[0:Ppad - s], ml[0:Ppad - s], mi[0:Ppad - s]),
-                (mh[s:Ppad], ml[s:Ppad], mi[s:Ppad]))
-            mh[0:Ppad - s] = nh
-            ml[0:Ppad - s] = nl
-            mi[0:Ppad - s] = ni
+            mh, ml, mi = _lexmin3((mh[:n - s], ml[:n - s], mi[:n - s]),
+                                  (mh[s:n], ml[s:n], mi[s:n]))
+            n -= s
             s *= 2
 
         # window argmin over w = lexmin(M_a[s], M_a[s + w - a])
         d = w - a_pow
-        wh, wl, wi = _lexmin3(
-            (mh[0:P], ml[0:P], mi[0:P]),
-            (mh[d:P + d], ml[d:P + d], mi[d:P + d]))
+        _, _, wi = _lexmin3((mh[:P], ml[:P], mi[:P]),
+                            (mh[d:P + d], ml[d:P + d], mi[d:P + d]))
 
         # valid window starts: s <= len - k + 1 - w  (per read)
         last_start = (last_pos - (w - 1))
@@ -221,20 +245,19 @@ def _make_kernel(spec: HashSpec, L: int):
         win_arg = jnp.where(win_ok, wi, _BIGI)
 
         # emitted[p] = OR_{d=0..w-1} (win_arg[p-d] == p)
-        pidx_p = pidx[0:P]
+        pidx_p = sidx
         emit = (win_arg == pidx_p)
         pad = jnp.full((w, _SUB, _LANES), _BIGI, jnp.int32)
         for dd in range(1, w):
-            # window start s = p - dd: static shift via concat (pltpu.roll's
-            # dynamic shift operand lowers as i64 under x64 and fails)
+            # window start s = p - dd: static shift via concat
             shifted = jnp.concatenate([pad[0:dd], win_arg[0:P - dd]], axis=0)
             emit = emit | (shifted == pidx_p)
 
-        hi_ref[...] = vh[0:P]
-        lo_ref[...] = vl[0:P]
-        flags_ref[...] = jnp.where(emit, _U1, _U0) | (vf[0:P] << 1)
+        hi_ref[...] = vh
+        lo_ref[...] = vl
+        flags_ref[...] = jnp.where(emit, _U1, _U0) | (vf << 1)
 
-    return kernel, P, Ppad
+    return kernel, P
 
 
 def supported(spec: HashSpec, codes_shape: Tuple[int, int]) -> bool:
@@ -255,7 +278,7 @@ def sketch_minimizer(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray):
     B, L = codes.shape
     if not supported(spec, (B, L)):
         raise ValueError(f"kernel needs B % {_ROWS} == 0 and P >= w")
-    kernel, P, Ppad = _make_kernel(spec, L)
+    kernel, P = _make_kernel(spec, L)
     nblk = B // _ROWS
 
     # lanes layout: (L, B//128, 128) u32; block = 8 consecutive 128-lane groups
@@ -271,8 +294,6 @@ def sketch_minimizer(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray):
         jax.ShapeDtypeStruct((P, B // _LANES, _LANES), jnp.uint32),
         jax.ShapeDtypeStruct((P, B // _LANES, _LANES), jnp.uint32),
     ]
-    scr = [pltpu.VMEM((Ppad, _SUB, _LANES), jnp.uint32) for _ in range(5)] + \
-          [pltpu.VMEM((Ppad, _SUB, _LANES), jnp.int32)]
     # x64 mode poisons Mosaic's grid/index lowering with int64 scalars (infinite
     # convert_element_type recursion / func.return legalization failures); the
     # kernel is pure 32-bit, so trace it with x64 off.
@@ -297,7 +318,6 @@ def sketch_minimizer(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray):
                              memory_space=pltpu.VMEM),
             ],
             out_shape=out_shape,
-            scratch_shapes=scr,
         )
         hi, lo, flags = call(ct, lt)
 
