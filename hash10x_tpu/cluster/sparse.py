@@ -4,35 +4,40 @@ The reference walks barcodes serially, tallying per-other-barcode share counts
 into an accumulator (``hash10x.c:~codeClusterFind``, SURVEY.md §3.1 #8, §4.2).
 The round-1 device path batched that tally as dense ``(B, n_codes)`` share rows —
 O(n_codes) memory per barcode row, which collapses at 1M+ barcodes (BASELINE
-configs #4/#5).  This module replaces it with a fully sparse, sort-centric
-pipeline whose device memory is proportional to the *pair set*, never to
-n_codes²:
+configs #4/#5).  This module holds the co-occurrence sparse: device memory is
+proportional to the *pair set*, never n_codes².
 
-1. **Pair enumeration** — for every retained k-mer h with barcode list
-   codes(h), every ordered pair (c1, c2), c1 != c2, contributes one u64 key
-   ``c1 * n_codes + c2``.  Σ_h len(h)² keys total, generated on device in
-   fixed-size chunks (static shapes; a global cumsum-of-squares searchsorted
-   maps flat indices back to (kmer, i, j) — only the chunk offset t0 varies,
-   traced, so the whole sweep is ONE compile).
-2. **Sparse co-occurrence counts** — keys accumulate in the LSM sorted-run
-   table (``table/sorted_table.py``): sort + segment-sum + compact.  This IS
-   the barcode x barcode co-occurrence matrix A·Aᵀ of BASELINE.json, held
-   sparse and sorted.  TPUs sort at GB/s; embrace sorting (round-1 measured
-   15x over scatter probing).
-3. **Friend edges** — keys with count >= min_friend_share are *friend* pairs F
-   (sorted u64).  A second enumeration pass emits bipartite edges
-   (p = CSR position of (c1, h), f = rank of (c1, c2) in F) for pairs present
-   in F (binary search).
-4. **Global min-label propagation** — one flat fixpoint over ALL barcodes at
-   once (components never cross barcodes, so one global pass is exact):
-   labels init to each k-mer's local index; iterate
-   f_lab = segment_min(p_lab over edges by f); p_lab = min(p_lab,
-   segment_min(f_lab over edges by p)) until unchanged.  Deterministic,
-   order-free; equals the oracle's union-find (``cluster_barcode_friend`` with
-   no cap) — first-appearing-k-mer canonical numbering falls out as the dense
-   rank of labels per barcode.
+v2 design — a **shift-join**, no gathers (the v1 sweep decoded flat pair
+indices through ``searchsorted`` + large random gathers, which lower terribly
+on TPU; measured tens of seconds on small lanes):
 
-Memory: O(chunk) for enumeration, O(|cooccur entries|) for the count table,
+1. **Length-ordered CSR** — the inverted incidence (codes-per-kmer lists,
+   each ascending) is reordered host-side so longer lists come first.  For a
+   shift distance d, every ordered pair (codes[i], codes[i+d]) with both
+   positions in one k-mer's segment is a co-occurring pair with c1 < c2; the
+   segments still containing pairs at distance d form a PREFIX of the array.
+2. **Shift sweep** — for d = 1..maxlen-1, one device step per window:
+   ``c2 = roll(codes_win, -d)``, same-segment mask, ``key = c1*n_codes + c2``
+   — pure elementwise ops on contiguous arrays (window size per d rounds the
+   live prefix to a power of two, so traces stay bounded).  List lengths are
+   count-band bounded (filter's max_count), so maxlen is small.
+3. **Sparse co-occurrence counts** — keys accumulate in the LSM sorted-run
+   table (``table/sorted_table.py``, flush_grow: never spills).  This IS the
+   barcode x barcode co-occurrence matrix A·Aᵀ of BASELINE.json, held sparse
+   and sorted; c1 < c2 halves the volume and the mirror order is recovered
+   from the compacted result in one cheap pass.
+4. **Friend edges** — a second shift sweep emits bipartite edges for pairs
+   whose share passed the threshold: (p = forward-CSR position of (c1, h),
+   f = rank of (c1, c2) among friend keys), packed as u64 keys and
+   accumulated device-resident in another sorted table — compaction returns
+   them already p-sorted; the f-sorted order is one more device sort.
+5. **Global min-label propagation** — one flat fixpoint over ALL barcodes at
+   once (components never cross barcodes, so one global pass is exact).
+   Deterministic, order-free; equals the oracle's union-find
+   (``cluster_barcode_friend`` with no cap) — first-appearing-k-mer canonical
+   numbering falls out as the dense rank of labels per barcode.
+
+Memory: O(window) for enumeration, O(|cooccur entries|) for the count table,
 O(|edges|) for propagation.  No (B, n_codes) anything.
 """
 
@@ -49,61 +54,131 @@ from ..hashspec import U64MAX
 from ..table import sorted_table as st
 from ..table.incidence import Incidence
 
-__all__ = ["cooccurrence_counts", "friend_pairs", "friend_edges",
-           "propagate_labels", "canonical_ranks", "cluster_codes_sparse"]
+__all__ = ["cooccurrence_counts", "friend_pairs", "propagate_labels",
+           "canonical_ranks", "cluster_codes_sparse"]
 
 _U64MAX = jnp.uint64(U64MAX)
 
-# pair-enumeration chunk: flat keys generated per device step (static shape)
+# default enumeration window (keys generated per device step, static shape)
 _CHUNK = 1 << 22
 
 
-@functools.partial(jax.jit, static_argnames=("n_codes", "chunk"))
-def _pair_fields(kmer_codes, kmer_offsets, lens, cum2, t0, n_codes: int,
-                 chunk: int):
-    """Decode flat ordered-pair indices [t0, t0+chunk) into (key, h, ok).
-
-    cum2 (n_kmers+1,) i64 = cumsum of len² (global, device-resident); for flat
-    index t the owning k-mer h satisfies cum2[h] <= t < cum2[h+1]; then
-    r = t - cum2[h], i = r // len, j = r % len and the pair is
-    (codes(h)[i], codes(h)[j]).  key = c1 * n_codes + c2 (U64MAX when i == j
-    or t out of range).
-    """
-    t = t0 + jnp.arange(chunk, dtype=jnp.int64)
-    h = jnp.searchsorted(cum2, t, side="right").astype(jnp.int64)
-    h = jnp.clip(h - 1, 0, lens.shape[0] - 1)
-    in_range = t < cum2[-1]
-    l = lens[h].astype(jnp.int64)
-    r = t - cum2[h]
-    l_safe = jnp.maximum(l, 1)
-    i = r // l_safe
-    j = r % l_safe
-    off = kmer_offsets[h]
-    cap = kmer_codes.shape[0] - 1
-    c1 = kmer_codes[jnp.minimum(off + i, cap)].astype(jnp.uint64)
-    c2 = kmer_codes[jnp.minimum(off + j, cap)].astype(jnp.uint64)
-    ok = in_range & (i != j)
-    key = jnp.where(ok, c1 * jnp.uint64(n_codes) + c2, _U64MAX)
-    return key, h, c1, ok
+def _pow2(n: int) -> int:
+    return 1 << max(int(n - 1).bit_length(), 3)
 
 
-class _PairEnum:
-    """Device-resident decoder state for the ordered-pair sweep."""
+class _ShiftJoin:
+    """Host-side reorder + device arrays for the shift-join sweeps."""
 
-    def __init__(self, inc: Incidence):
+    def __init__(self, inc: Incidence, max_window: int):
         lens = np.diff(inc.kmer_offsets).astype(np.int64)
-        self.total = int((lens ** 2).sum())
+        order = np.argsort(-lens, kind="stable")
+        sl = lens[order]
+        n_pairs = inc.n_pairs
+        new_off = np.concatenate([[0], np.cumsum(sl)])
+        starts = inc.kmer_offsets[:-1][order]
+        pos_old = (np.arange(n_pairs, dtype=np.int64)
+                   - np.repeat(new_off[:-1], sl) + np.repeat(starts, sl))
+        self.pos_old = pos_old
+        self.sl = sl
+        self.cum = new_off
+        self.D = int(sl[0]) if len(sl) else 0
         self.n_codes = inc.n_codes
-        self.kmer_codes = jnp.asarray(inc.kmer_codes, jnp.int32)
-        self.kmer_offsets = jnp.asarray(inc.kmer_offsets[:-1], jnp.int64)
-        self.lens = jnp.asarray(lens)
-        self.cum2 = jnp.asarray(
-            np.concatenate([[0], np.cumsum(lens ** 2)]).astype(np.int64))
+        # window floor 4*D keeps every shift distance coverable (w > d)
+        self.W = min(_pow2(max(n_pairs, 1)),
+                     max(_pow2(max_window), _pow2(4 * max(self.D, 1))))
+        codes = inc.kmer_codes[pos_old].astype(np.int32)
+        seg = np.repeat(np.arange(len(sl), dtype=np.int32), sl)
+        # pad by one max window so fixed-size dynamic slices at any offset are
+        # in-bounds; padded seg = -1 never matches a real segment
+        self.codes_d = jnp.asarray(
+            np.concatenate([codes, np.zeros(self.W, np.int32)]))
+        self.seg_d = jnp.asarray(
+            np.concatenate([seg, np.full(self.W, -1, np.int32)]))
 
-    def keys(self, t0: int, chunk: int):
-        return _pair_fields(self.kmer_codes, self.kmer_offsets, self.lens,
-                            self.cum2, jnp.int64(t0), n_codes=self.n_codes,
-                            chunk=chunk)
+    def b(self, d: int) -> int:
+        """Positions in segments still containing pairs at distance d (a
+        prefix, lists being length-ordered): sum of lens >= d+1."""
+        m = int(np.searchsorted(-self.sl, -(d + 1), side="right"))
+        return int(self.cum[m])
+
+    def windows(self, d: int):
+        """(offset, width) windows covering all pair starts i in [0, b-d)."""
+        b = self.b(d)
+        if b - d <= 0:
+            return
+        # ONE window width for the whole sweep: every distinct shape is a
+        # separate XLA program, and remote compiles (~20-60s each through the
+        # relay) dwarf the padded-window compute they would save
+        w = self.W
+        a = 0
+        while a < b - d:
+            yield a, w
+            a += w - d
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _win_keys(codes_pad, seg_pad, a, d, n_codes_u, w: int):
+    """Pair keys c1*n_codes+c2 for starts i in [a, a+w-d) at distance d
+    (U64MAX where the two positions straddle segments or run off the window)."""
+    cw = jax.lax.dynamic_slice(codes_pad, (a,), (w,))
+    sw = jax.lax.dynamic_slice(seg_pad, (a,), (w,))
+    c1 = cw.astype(jnp.uint64)
+    c2 = jnp.roll(cw, -d).astype(jnp.uint64)
+    ok = (sw == jnp.roll(sw, -d)) & (sw >= 0) & \
+        (jnp.arange(w, dtype=jnp.int32) < (jnp.int32(w) - d))
+    return jnp.where(ok, c1 * n_codes_u + c2, _U64MAX)
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _win_edges(codes_pad, seg_pad, p_pad, a, d, fkeys, n_codes_u, n_f_u,
+               w: int):
+    """Bipartite edge keys for one window: for friend pairs (c1,c2) sharing
+    k-mer h, edges (p1 = fwd position of (c1,h)) -> rank(c1,c2) and
+    (p2 = fwd position of (c2,h)) -> rank(c2,c1), packed p*n_f+f (U64MAX
+    elsewhere)."""
+    cw = jax.lax.dynamic_slice(codes_pad, (a,), (w,))
+    sw = jax.lax.dynamic_slice(seg_pad, (a,), (w,))
+    pw = jax.lax.dynamic_slice(p_pad, (a,), (w,))
+    c1 = cw.astype(jnp.uint64)
+    c2 = jnp.roll(cw, -d).astype(jnp.uint64)
+    ok = (sw == jnp.roll(sw, -d)) & (sw >= 0) & \
+        (jnp.arange(w, dtype=jnp.int32) < (jnp.int32(w) - d))
+    key = jnp.where(ok, c1 * n_codes_u + c2, _U64MAX)
+    km = jnp.where(ok, c2 * n_codes_u + c1, _U64MAX)
+    cap = jnp.int64(fkeys.shape[0] - 1)
+    # method="sort": binary search is ~21 random-gather passes over the friend
+    # table per call, which dominated the edge sweep (measured ~190s at 50k
+    # codes); the sort-based rank join is pure lax.sort
+    i1 = jnp.minimum(jnp.searchsorted(fkeys, key, method="sort")
+                     .astype(jnp.int64), cap)
+    isf = ok & (fkeys[i1] == key)
+    i2 = jnp.minimum(jnp.searchsorted(fkeys, km, method="sort")
+                     .astype(jnp.int64), cap)
+    p1 = pw.astype(jnp.uint64)
+    p2 = jnp.roll(pw, -d).astype(jnp.uint64)
+    e1 = jnp.where(isf, p1 * n_f_u + i1.astype(jnp.uint64), _U64MAX)
+    e2 = jnp.where(isf, p2 * n_f_u + i2.astype(jnp.uint64), _U64MAX)
+    return e1, e2
+
+
+def _sweep_into_table(widths_and_keys, buf_factor: int = 8):
+    """Append a stream of (width, device u64 keys) into a flush_grow table.
+
+    Capacity grows 4x at a time from a 2^18 floor (flush_grow load 0.25):
+    every distinct (capacity, buffer) pair is a fresh remote compile of the
+    merge, so fewer/larger steps beat tight sizing."""
+    t = None
+    for w, keys in widths_and_keys:
+        if t is None:
+            t = st.make_sorted_table(1 << 18, _pow2(buf_factor * w))
+        if t.buf_n + w > t.buf.shape[0]:
+            t = st.flush_grow(t, load=0.25)
+        t = st.append(t, keys)
+    if t is None:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    t = st.flush_grow(t)
+    return st.compact(t)
 
 
 def cooccurrence_counts(inc: Incidence, chunk: int = _CHUNK,
@@ -111,31 +186,27 @@ def cooccurrence_counts(inc: Incidence, chunk: int = _CHUNK,
     """Sparse barcode x barcode co-occurrence: sorted (pair key, share) arrays.
 
     share(c1, c2) = |{h : (c1,h), (c2,h) in incidence}| — exactly the oracle's
-    ``barcode_shares`` for every c1 at once (symmetric; both orders present).
-    The count table grows on high water exactly like the engine's k-mer table
-    (never-silent spill contract).
-    """
-    enum = _PairEnum(inc)
-    chunk = min(chunk, 1 << max((enum.total - 1).bit_length(), 10)) \
-        if enum.total else 1 << 10
-    cap = 1 << 16
-    t = st.make_sorted_table(cap, 2 * chunk)
-    for t0 in range(0, enum.total, chunk):
-        keys, _, _, _ = enum.keys(t0, chunk)
-        if t.buf_n + chunk > t.buf.shape[0]:
-            t = st.flush(t)
-            if int(np.asarray(t.spilled)):
-                raise RuntimeError("cooccurrence table spilled (growth "
-                                   "scheduled too late); raise chunk")
-            while int(np.asarray(t.n_filled)) > 0.7 * t.capacity:
-                t = st.grow(t, t.capacity * 2, buf_capacity=t.buf.shape[0])
-        t = st.append(t, keys)
-    t = st.flush(t)
-    if int(np.asarray(t.spilled)):
-        t = st.grow(t, t.capacity * 4, buf_capacity=t.buf.shape[0])
-        if int(np.asarray(t.spilled)):
-            raise RuntimeError("cooccurrence table spilled")
-    return st.compact(t)
+    ``barcode_shares`` for every c1 at once (symmetric; both orders present)."""
+    sj = _ShiftJoin(inc, chunk)
+    n_codes_u = jnp.uint64(max(inc.n_codes, 1))
+
+    def gen():
+        for d in range(1, sj.D):
+            for a, w in sj.windows(d):
+                yield w, _win_keys(sj.codes_d, sj.seg_d, jnp.int64(a),
+                                   jnp.int32(d), n_codes_u, w)
+
+    k1, s1 = _sweep_into_table(gen())
+    if len(k1) == 0:
+        return k1, s1
+    # mirror c1 < c2 keys to both orders (shares are symmetric)
+    c1 = (k1 // np.uint64(inc.n_codes)).astype(np.uint64)
+    c2 = (k1 % np.uint64(inc.n_codes)).astype(np.uint64)
+    k2 = c2 * np.uint64(inc.n_codes) + c1
+    keys = np.concatenate([k1, k2])
+    shares = np.concatenate([s1, s1])
+    o = np.argsort(keys, kind="stable")
+    return keys[o], shares[o]
 
 
 def friend_pairs(pair_keys: np.ndarray, shares: np.ndarray,
@@ -144,53 +215,38 @@ def friend_pairs(pair_keys: np.ndarray, shares: np.ndarray,
     return pair_keys[shares >= min_friend_share]
 
 
-@functools.partial(jax.jit, static_argnames=("n_codes", "chunk"))
-def _edges_chunk(kmer_codes, kmer_offsets, lens, cum2, t0, fkeys, fwd_keys,
-                 n_kmers_u, n_codes: int, chunk: int):
-    """One chunk of bipartite edges: (p = forward-CSR position of (c1, h),
-    f = rank of (c1, c2) among friend keys, is_friend)."""
-    key, h, c1, ok = _pair_fields(kmer_codes, kmer_offsets, lens, cum2, t0,
-                                  n_codes=n_codes, chunk=chunk)
-    fi = jnp.searchsorted(fkeys, key)
-    fi_c = jnp.minimum(fi, fkeys.shape[0] - 1)
-    is_friend = ok & (fkeys[fi_c] == key)
-    # p = rank of (c1, h) among forward pairs (sorted by c1 * n_kmers + h)
-    pkey = c1 * n_kmers_u + h.astype(jnp.uint64)
-    pi = jnp.searchsorted(fwd_keys, pkey).astype(jnp.int32)
-    return pi, fi_c.astype(jnp.int32), is_friend
+def _forward_positions(inc: Incidence) -> np.ndarray:
+    """inv2fwd[i]: forward-CSR position of the (code, kmer) pair at inverted-
+    CSR position i.  Forward CSR is (code-major, kmer ascending); inverted is
+    (kmer-major, code ascending) — a stable two-key argsort maps them."""
+    kmer_of_i = np.repeat(np.arange(inc.n_kmers, dtype=np.int64),
+                          np.diff(inc.kmer_offsets))
+    code_of_i = inc.kmer_codes.astype(np.int64)
+    # rank of (code, kmer) among all pairs in forward order
+    fwd_key = code_of_i * np.int64(inc.n_kmers) + kmer_of_i
+    return np.argsort(np.argsort(fwd_key, kind="stable"),
+                      kind="stable").astype(np.int64)
 
 
-def _forward_keys(inc: Incidence) -> np.ndarray:
-    code_of_p = np.repeat(
-        np.arange(inc.n_codes, dtype=np.int64), np.diff(inc.code_offsets))
-    return (code_of_p.astype(np.uint64) * np.uint64(inc.n_kmers)
-            + inc.code_kmers.astype(np.uint64))
-
-
-def friend_edges(inc: Incidence, fkeys: np.ndarray, chunk: int = _CHUNK
-                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """All (p, f) bipartite edges: forward-CSR position p's k-mer is contained
-    in friend pair f = (code_of(p), c2)."""
-    if len(fkeys) == 0:
-        return np.zeros(0, np.int32), np.zeros(0, np.int32)
-    enum = _PairEnum(inc)
-    chunk = min(chunk, 1 << max((enum.total - 1).bit_length(), 10)) \
-        if enum.total else 1 << 10
-    fkeys_d = jnp.asarray(fkeys)
-    fwd_d = jnp.asarray(_forward_keys(inc))
-    ps, fs = [], []
-    for t0 in range(0, enum.total, chunk):
-        p, f, ok = _edges_chunk(
-            enum.kmer_codes, enum.kmer_offsets, enum.lens, enum.cum2,
-            jnp.int64(t0), fkeys_d, fwd_d, jnp.uint64(inc.n_kmers),
-            n_codes=inc.n_codes, chunk=chunk)
-        okh = np.asarray(ok)
-        if okh.any():
-            ps.append(np.asarray(p)[okh])
-            fs.append(np.asarray(f)[okh])
-    if not ps:
-        return np.zeros(0, np.int32), np.zeros(0, np.int32)
-    return np.concatenate(ps), np.concatenate(fs)
+def propagate_labels(inc: Incidence, p_edges, f_edges, n_f: int) -> np.ndarray:
+    """Component labels for every forward-CSR position (local min k-mer index
+    within its barcode), via global flat min-label propagation."""
+    local = _local_indices(inc)
+    if inc.n_pairs == 0 or (hasattr(p_edges, "__len__") and len(p_edges) == 0):
+        return local
+    p_e = jnp.asarray(p_edges)
+    f_e = jnp.asarray(f_edges)
+    # both edge orders on device (argsort+gather is fine here: one-off, and
+    # edges are already p-sorted from the edge table, so only f-order sorts)
+    fkey = f_e.astype(jnp.uint64) * jnp.uint64(inc.n_pairs) + \
+        p_e.astype(jnp.uint64)
+    fkey = jnp.sort(fkey)
+    p_by_f = (fkey % jnp.uint64(inc.n_pairs)).astype(jnp.int32)
+    f_sorted = (fkey // jnp.uint64(inc.n_pairs)).astype(jnp.int32)
+    lab = _propagate(p_by_f, f_sorted, p_e.astype(jnp.int32),
+                     f_e.astype(jnp.int32), jnp.asarray(local),
+                     n_p=inc.n_pairs, n_f=n_f)
+    return np.asarray(lab)
 
 
 @functools.partial(jax.jit, static_argnames=("n_p", "n_f"))
@@ -226,22 +282,6 @@ def _local_indices(inc: Incidence) -> np.ndarray:
             - inc.code_offsets[code_of_p]).astype(np.int32)
 
 
-def propagate_labels(inc: Incidence, p_edges: np.ndarray, f_edges: np.ndarray,
-                     n_f: int) -> np.ndarray:
-    """Component labels for every forward-CSR position (local min k-mer index
-    within its barcode), via global flat min-label propagation."""
-    local = _local_indices(inc)
-    if len(p_edges) == 0 or inc.n_pairs == 0:
-        return local
-    by_f = np.argsort(f_edges, kind="stable")
-    by_p = np.argsort(p_edges, kind="stable")
-    lab = _propagate(
-        jnp.asarray(p_edges[by_f]), jnp.asarray(f_edges[by_f]),
-        jnp.asarray(p_edges[by_p]), jnp.asarray(f_edges[by_p]),
-        jnp.asarray(local), n_p=inc.n_pairs, n_f=n_f)
-    return np.asarray(lab)
-
-
 def canonical_ranks(inc: Incidence, labels: np.ndarray) -> np.ndarray:
     """Dense-rank labels per barcode into canonical cluster ids (first-
     appearing k-mer numbering: a component's label IS its min local index, so
@@ -266,9 +306,44 @@ def cluster_codes_sparse(inc: Incidence, min_friend_share: int = 8,
     position-aligned array when ``flat``)."""
     keys, shares = cooccurrence_counts(inc, chunk=chunk)
     fkeys = friend_pairs(keys, shares, min_friend_share)
-    p_e, f_e = friend_edges(inc, fkeys, chunk=chunk)
-    labels = propagate_labels(inc, p_e, f_e, n_f=max(len(fkeys), 1))
-    canon = canonical_ranks(inc, labels)
+    if len(fkeys) == 0 or inc.n_pairs == 0:
+        canon = canonical_ranks(inc, _local_indices(inc)) \
+            if inc.n_pairs else np.zeros(0, np.int32)
+    else:
+        sj = _ShiftJoin(inc, chunk)
+        p_pad = jnp.asarray(np.concatenate(
+            [_forward_positions(inc)[sj.pos_old],
+             np.zeros(sj.W, np.int64)]).astype(np.int64))
+        fkeys_d = jnp.asarray(fkeys)
+        n_codes_u = jnp.uint64(inc.n_codes)
+        n_f_u = jnp.uint64(len(fkeys))
+
+        # edges need no merging (each (p, f) arises once), so accumulate the
+        # window outputs device-side and sort ONCE — routing them through the
+        # LSM table re-sorted the whole table per flush (measured ~100s at
+        # 50k codes vs seconds here)
+        parts = []
+        for d in range(1, sj.D):
+            for a, w in sj.windows(d):
+                e1, e2 = _win_edges(sj.codes_d, sj.seg_d, p_pad,
+                                    jnp.int64(a), jnp.int32(d), fkeys_d,
+                                    n_codes_u, n_f_u, w)
+                parts.append(e1)
+                parts.append(e2)
+        all_e = jnp.sort(jnp.concatenate(parts))
+        n_real = int(jnp.searchsorted(all_e, _U64MAX))
+        # pad the edge count to a power of two so downstream jits see few
+        # distinct shapes; pad edges map to sentinel segments (p=n_p, f=n_f)
+        # which segment_min drops
+        n_pad = min(_pow2(max(n_real, 1)), all_e.shape[0])
+        ekeys_d = all_e[:n_pad]
+        valid = ekeys_d != _U64MAX
+        p_e = jnp.where(valid, (ekeys_d // n_f_u).astype(jnp.int64),
+                        inc.n_pairs)
+        f_e = jnp.where(valid, (ekeys_d % n_f_u).astype(jnp.int64),
+                        len(fkeys))
+        labels = propagate_labels(inc, p_e, f_e, n_f=len(fkeys))
+        canon = canonical_ranks(inc, labels)
     if flat:
         return canon
     return [canon[inc.code_offsets[c]:inc.code_offsets[c + 1]]
