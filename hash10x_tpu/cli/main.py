@@ -14,6 +14,12 @@ Parameters (take effect for later commands):
   -w <int>             minimizer window / modimizer modulus (default 11)
   -r <int>             hash seed (default 17)
   -B | --tableBits <b> count table has 2^b slots (default 22)
+  --hosts <n>          multi-process run over n hosts (DP input sharding +
+                       hash-sharded table over the global mesh); pair with
+                       --hostId and --coordinator (or H10X_* env vars);
+                       stdout/report files are written by host 0 only
+  --hostId <i>         this process's id in [0, hosts)
+  --coordinator <a:p>  jax.distributed coordinator address
   --minimizer | --modimizer | --allKmers | --syncmer <s>   sketch mode
   --minCount <n> --maxCount <n>              count band for good k-mers
   --minShare <n>       pair-mode support threshold
@@ -51,15 +57,47 @@ Every command is followed by a timing/RSS line on stderr (timeUpdate analog).
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Optional
 
-from ..hashspec import HashSpec
-from ..engine import Engine, EngineConfig
-from ..io import fqb as FB
-from ..io.sim import SimConfig, simulate
+# NOTE: engine/io imports happen inside main(), AFTER the multi-host
+# bootstrap — several modules create jnp constants at import, which would
+# initialize the XLA backend and break jax.distributed.initialize.
 
 __all__ = ["main"]
+
+
+def _bootstrap_multihost(argv: List[str]):
+    """Pre-scan for --hosts/--hostId/--coordinator (consumed here, before any
+    backend-touching import) and bootstrap jax.distributed if requested;
+    returns (remaining argv, is_coordinator)."""
+    hosts = int(os.environ.get("H10X_NUM_PROCESSES", "1"))
+    host_id = int(os.environ.get("H10X_PROCESS_ID", "0"))
+    coord = os.environ.get("H10X_COORDINATOR")
+    rest = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("--hosts", "--hostId", "--coordinator"):
+            if i + 1 >= len(argv):
+                raise SystemExit(f"{a} requires an argument")
+            v = argv[i + 1]
+            if a == "--hosts":
+                hosts = int(v)
+            elif a == "--hostId":
+                host_id = int(v)
+            else:
+                coord = v
+            i += 2
+            continue
+        rest.append(a)
+        i += 1
+    if hosts > 1:
+        from ..dist import multihost
+        multihost.initialize(coord, hosts, host_id)
+        return rest, host_id == 0
+    return rest, True
 
 
 class _State:
@@ -131,13 +169,29 @@ def _parse_sim(spec: str) -> SimConfig:
 
 def main(argv: List[str] = None, out=None, err=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or "--help" in argv or "-h" in argv:
+        (out or sys.stdout).write(__doc__)
+        return 0
+    argv, is_coord = _bootstrap_multihost(argv)
+    import jax
+    multi = jax.process_count() > 1
+    if multi and not is_coord:
+        # non-coordinator processes participate in every collective but write
+        # no user-facing output (reports and files come from host 0)
+        out = open(os.devnull, "w")
     out = out or sys.stdout
     err = err or sys.stderr
-    if not argv or "--help" in argv or "-h" in argv:
-        out.write(__doc__)
-        return 0
+
+    global Engine, EngineConfig, FB, HashSpec, SimConfig, simulate
+    from ..hashspec import HashSpec
+    from ..engine import Engine, EngineConfig
+    from ..io import fqb as FB
+    from ..io.sim import SimConfig, simulate
 
     st = _State(err)
+    if multi and st.n_shards == 1:
+        st.n_shards = jax.device_count()
+    st.is_coord = is_coord
     i = 0
 
     def need(n: int, flag: str) -> List[str]:
@@ -206,7 +260,9 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         elif a == "--writeFQB":
             if st.fqb is None:
                 raise SystemExit("--writeFQB: no reads loaded")
-            FB.save_fqb(need(1, a)[0], st.fqb)
+            path = need(1, a)[0]
+            if st.is_coord:
+                FB.save_fqb(path, st.fqb)
         elif a == "--simulate":
             sim = simulate(_parse_sim(need(1, a)[0]))
             st.fqb = FB.from_read_batch(sim.reads)
@@ -216,17 +272,23 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         elif a == "--hashDist":
             st.get_engine().write_histogram(out)
         elif a == "--writeHash":
-            st.get_engine().save(need(1, a)[0])
+            path = need(1, a)[0]
+            if st.is_coord:
+                st.get_engine().save(path)
         elif a == "--readHash":
             st.get_engine().load(need(1, a)[0])
         elif a == "--errorFix":
             st.get_engine().error_fix(int(need(1, a)[0]))
         elif a == "--writeCounts":
-            with open(need(1, a)[0], "w") as f:
-                st.get_engine().write_counts(f)
+            path = need(1, a)[0]
+            if st.is_coord:
+                with open(path, "w") as f:
+                    st.get_engine().write_counts(f)
         elif a == "--writeClusters":
-            with open(need(1, a)[0], "w") as f:
-                st.get_engine().write_clusters(f)
+            path = need(1, a)[0]
+            if st.is_coord:
+                with open(path, "w") as f:
+                    st.get_engine().write_clusters(f)
         elif a in ("--cluster", "--codeClusters"):
             eng = st.get_engine()
             if st.fqb is not None:

@@ -254,6 +254,13 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     return apply
 
 
+def host_sum(t: ShardedSortedTable, x) -> int:
+    """Sum a per-shard device array to a host int (replicates first so it
+    works when shards live on other processes)."""
+    rep = NamedSharding(t.mesh, P())
+    return int(np.asarray(jax.jit(jnp.sum, out_shardings=rep)(x)))
+
+
 def sorted_histogram(t: ShardedSortedTable, max_count: int = 256) -> np.ndarray:
     """psum-merged histogram across shards."""
 
@@ -268,9 +275,18 @@ def sorted_histogram(t: ShardedSortedTable, max_count: int = 256) -> np.ndarray:
 
 def gather_sorted_compact(t: ShardedSortedTable, min_count: int = 0,
                           max_count: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-gathered global (hash, count), ascending — canonical global ids."""
-    h = np.asarray(t.hashes).reshape(-1)
-    c = np.asarray(t.counts).reshape(-1)
+    """Host-gathered global (hash, count), ascending — canonical global ids.
+
+    Multi-process: shards on other hosts are not addressable, so replicate
+    first (jit identity with a replicated out-sharding inserts the
+    all_gather); every process then holds the identical global table."""
+    hashes, counts = t.hashes, t.counts
+    if not hashes.is_fully_addressable:
+        rep = NamedSharding(t.mesh, P())
+        hashes, counts = jax.jit(lambda a, b: (a, b),
+                                 out_shardings=(rep, rep))(hashes, counts)
+    h = np.asarray(hashes).reshape(-1)
+    c = np.asarray(counts).reshape(-1)
     keep = h != U64MAX
     if min_count:
         keep &= c >= min_count

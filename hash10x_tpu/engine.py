@@ -150,6 +150,69 @@ class Engine:
         valid = jnp.arange(bsz, dtype=jnp.int32)[:, None] < jnp.int32(m)
         return jnp.where(valid, nm, 0)
 
+    def _spans(self, fqb: Fqb):
+        """Barcode-sorted lane arrays + batch spans (a, b, group_id or None),
+        boundaries aligned so one barcode never straddles a batch; a barcode
+        with more reads than a batch streams alone as a tagged group."""
+        bsz = self.cfg.batch_reads
+        order = np.argsort(fqb.barcode_ids, kind="stable")
+        packed_all = fqb.packed[order]
+        lengths_all = fqb.lengths[order]
+        bc_all = fqb.barcode_ids[order]
+        nmask_all = fqb.nmask[order] if fqb.nmask is not None else None
+        n = len(bc_all)
+        spans = []
+        i = 0
+        gid = 0
+        while i < n:
+            j = min(i + bsz, n)
+            if j < n:
+                # retreat to the start of the straddling barcode
+                jb = j
+                while jb > i and bc_all[jb - 1] == bc_all[j] and bc_all[j] != -1:
+                    jb -= 1
+                if jb > i:
+                    j = jb
+                elif bc_all[j] != -1 and bc_all[i] == bc_all[j]:
+                    # oversized barcode: stream it alone as a tagged group
+                    e = i
+                    while e < n and bc_all[e] == bc_all[i]:
+                        e += 1
+                    gid += 1
+                    for a in range(i, e, bsz):
+                        spans.append((a, min(a + bsz, e), gid))
+                    i = e
+                    continue
+            spans.append((i, j, None))
+            i = j
+        return packed_all, lengths_all, bc_all, nmask_all, spans
+
+    def _host_batches(self, fqb: Fqb):
+        """Numpy variant of _batches (multi-host path: every process computes
+        the identical global batch schedule and contributes its local slice
+        via ``make_array_from_process_local_data``)."""
+        bsz = self.cfg.batch_reads
+        k, w = self.cfg.spec.k, self.cfg.spec.w
+        packed_all, lengths_all, bc_all, nmask_all, spans = self._spans(fqb)
+        W = packed_all.shape[1]
+        for a, b, g in spans:
+            m = b - a
+            packed = np.zeros((bsz, W), np.uint32)
+            lengths = np.zeros(bsz, np.int32)
+            bcs = np.full(bsz, -1, np.int32)
+            packed[:m] = packed_all[a:b]
+            lengths[:m] = lengths_all[a:b]
+            bcs[:m] = bc_all[a:b]
+            nmask = None
+            if nmask_all is not None and nmask_all[a:b].any():
+                nmask = np.zeros((bsz, nmask_all.shape[1]), np.uint32)
+                nmask[:m] = nmask_all[a:b]
+            seg = lengths_all[a:b]
+            n_valid = int((seg > 0).sum())
+            P_i = seg.astype(np.int64) - k + 1
+            has_short = bool(((P_i > 0) & (P_i < w)).any())
+            yield packed, nmask, lengths, bcs, (g, n_valid, has_short)
+
     def _chunks(self, fqb: Fqb):
         """Yield device-resident transfer chunks with their batch spans.
 
@@ -174,37 +237,7 @@ class Engine:
         if cached is not None:
             yield from cached[1]
             return
-        order = np.argsort(fqb.barcode_ids, kind="stable")
-        packed_all = fqb.packed[order]
-        lengths_all = fqb.lengths[order]
-        bc_all = fqb.barcode_ids[order]
-        nmask_all = fqb.nmask[order] if fqb.nmask is not None else None
-        n = len(bc_all)
-        # batch boundaries aligned to barcode boundaries
-        spans = []  # (a, b, group_id or None)
-        i = 0
-        gid = 0
-        while i < n:
-            j = min(i + bsz, n)
-            if j < n:
-                # retreat to the start of the straddling barcode
-                jb = j
-                while jb > i and bc_all[jb - 1] == bc_all[j] and bc_all[j] != -1:
-                    jb -= 1
-                if jb > i:
-                    j = jb
-                elif bc_all[j] != -1 and bc_all[i] == bc_all[j]:
-                    # oversized barcode: stream it alone as a tagged group
-                    e = i
-                    while e < n and bc_all[e] == bc_all[i]:
-                        e += 1
-                    gid += 1
-                    for a in range(i, e, bsz):
-                        spans.append((a, min(a + bsz, e), gid))
-                    i = e
-                    continue
-            spans.append((i, j, None))
-            i = j
+        packed_all, lengths_all, bc_all, nmask_all, spans = self._spans(fqb)
         W = packed_all.shape[1]
         k, w = self.cfg.spec.k, self.cfg.spec.w
 
@@ -514,14 +547,25 @@ class Engine:
         """Sharded count pass (SURVEY.md §3.2): DP read batches over the mesh,
         all_to_all emission routing to hash-owner shards, shard-parallel sorted
         flushes; the gathered global table feeds the unchanged downstream
-        commands."""
+        commands.
+
+        Multi-process (``jax.process_count() > 1``, bootstrapped by the CLI's
+        --hosts / H10X_* env via dist.multihost): the mesh spans all global
+        devices, every process computes the identical batch schedule, and each
+        contributes its rows of every global batch with
+        ``make_array_from_process_local_data`` — the DP row of SURVEY.md §3.2."""
         from .dist import sharded as D
         from .dist import sharded_sorted as DS
         cfg = self.cfg
         if cfg.batch_reads % cfg.n_shards:
             raise ValueError("batch_reads must be divisible by n_shards")
         self._read_len = fqb.read_len
-        mesh = D.make_mesh(cfg.n_shards)
+        multi = jax.process_count() > 1
+        if multi:
+            from .dist import multihost
+            mesh = multihost.global_mesh(cfg.n_shards)
+        else:
+            mesh = D.make_mesh(cfg.n_shards)
         cap = max((1 << cfg.table_bits) // cfg.n_shards, 1 << 14)
         step = DS.make_sorted_count_step(
             cfg.spec, mesh, mode=cfg.mode, modulus=cfg.modulus,
@@ -533,22 +577,49 @@ class Engine:
         width = step.recv_width(cfg.batch_reads, fqb.read_len)
         dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
                                    spec=cfg.spec)
-        for packed, nmask, lengths, bcs, meta in self._batches(fqb):
-            gid, n_valid, has_short = meta
-            if gid is not None and cfg.count_mode == "barcodes":
-                raise RuntimeError(
-                    "a barcode has more reads than --batchReads; the sharded "
-                    "count path dedups per step only — raise --batchReads "
-                    "(the single-device path handles oversized barcodes)")
-            dt = step(dt, packed, lengths, bcs, nmask=nmask,
-                      force_jnp=has_short or nmask is not None)
-            self.n_reads_counted += n_valid
+        if multi:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P("d"))
+            pc, pid = jax.process_count(), jax.process_index()
+            if cfg.batch_reads % pc:
+                raise ValueError("batch_reads must be divisible by the "
+                                 "process count")
+            per = cfg.batch_reads // pc
+
+            def to_global(arr):
+                return jax.make_array_from_process_local_data(
+                    sh, np.ascontiguousarray(arr[pid * per:(pid + 1) * per]))
+
+            for packed, nmask, lengths, bcs, meta in self._host_batches(fqb):
+                gid, n_valid, has_short = meta
+                if gid is not None and cfg.count_mode == "barcodes":
+                    raise RuntimeError(
+                        "a barcode has more reads than --batchReads; the "
+                        "sharded count path dedups per step only — raise "
+                        "--batchReads")
+                dt = step(dt, to_global(packed), to_global(lengths),
+                          to_global(bcs),
+                          nmask=to_global(nmask) if nmask is not None else None,
+                          force_jnp=has_short or nmask is not None)
+                self.n_reads_counted += n_valid
+        else:
+            for packed, nmask, lengths, bcs, meta in self._batches(fqb):
+                gid, n_valid, has_short = meta
+                if gid is not None and cfg.count_mode == "barcodes":
+                    raise RuntimeError(
+                        "a barcode has more reads than --batchReads; the "
+                        "sharded count path dedups per step only — raise "
+                        "--batchReads (the single-device path handles "
+                        "oversized barcodes)")
+                dt = step(dt, packed, lengths, bcs, nmask=nmask,
+                          force_jnp=has_short or nmask is not None)
+                self.n_reads_counted += n_valid
         dt = step.finish(dt)
-        drops = int(np.asarray(dt.route_drops).sum())
+        drops = DS.host_sum(dt, dt.route_drops)
         if drops:
             raise RuntimeError(f"sharded count dropped {drops} emissions "
                                "(lane/cap overflow); raise lane capacity")
-        if int(np.asarray(dt.spilled).sum()):
+        if DS.host_sum(dt, dt.spilled):
             raise RuntimeError("sharded table spilled; raise --tableBits")
         gh, gc = DS.gather_sorted_compact(dt)
         need = 1 << max(int(len(gh)).bit_length(), 14)

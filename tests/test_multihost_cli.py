@@ -1,0 +1,91 @@
+"""Multi-host CLI (--hosts, VERDICT round-1 item 5): a 2-process CLI run over
+loopback must produce byte-identical --hashDist and --writeCounts output to a
+1-process run on the same lane."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def make_lane(path):
+    import hash10x_tpu  # noqa: F401
+    from hash10x_tpu.io.fqb import Fqb, save_fqb
+    from hash10x_tpu.core.encode import pack_2bit
+    rng = np.random.default_rng(21)
+    genome = rng.integers(0, 4, size=50_000).astype(np.uint8)
+    N, n_codes = 512, 32
+    bc = np.repeat(np.arange(n_codes, dtype=np.int32), N // n_codes)
+    starts = rng.integers(0, len(genome) - 100, size=N)
+    reads = np.stack([genome[s:s + 100] for s in starts])
+    fqb = Fqb(packed=pack_2bit(reads), lengths=np.full(N, 100, np.int32),
+              barcode_ids=bc, barcode_keys=np.arange(n_codes, dtype=np.uint32),
+              read_len=100)
+    save_fqb(path, fqb)
+
+
+def run_cli(args, env_extra, cwd=REPO):
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/h10x_jax_cache",
+        "PALLAS_AXON_POOL_IPS": "",   # keep the axon hook from claiming a chip
+    })
+    env.update(env_extra)
+    return subprocess.Popen(
+        [sys.executable, "-m", "hash10x_tpu.cli"] + args, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=str(cwd))
+
+
+@pytest.mark.slow
+def test_two_process_cli_matches_single(tmp_path):
+    lane = tmp_path / "lane.fqb.npz"
+    make_lane(str(lane))
+    counts1 = tmp_path / "counts1.txt"
+    counts2 = tmp_path / "counts2.txt"
+    params = ["-k", "13", "-w", "5", "-r", "17", "--batchReads", "128"]
+    cmds = ["--readFQB", str(lane), "--hashDist"]
+
+    # single process, sharded over 2 virtual CPU devices
+    p = run_cli(params + ["--shards", "2"] + cmds
+                + ["--writeCounts", str(counts1)],
+                {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    out1, err1 = p.communicate(timeout=600)
+    assert p.returncode == 0, err1[-2000:]
+
+    # two processes x 1 device each over loopback DCN
+    port = free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(run_cli(
+            ["--hosts", "2", "--hostId", str(pid),
+             "--coordinator", f"127.0.0.1:{port}"] + params + cmds
+            + ["--writeCounts", str(counts2)],
+            {"XLA_FLAGS": "--xla_force_host_platform_device_count=1"}))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+
+    def clean(s):
+        # the gloo backend prints a "[Gloo] Rank ..." banner to stdout
+        return [l for l in s.splitlines() if not l.startswith("[Gloo]")]
+
+    assert clean(outs[0]) == clean(out1)  # coordinator stdout == single-process
+    assert clean(outs[1]) == []           # non-coordinator writes nothing
+    assert counts1.read_text() == counts2.read_text()
