@@ -722,13 +722,33 @@ class Engine:
                          f"{self.inc.n_codes} codes x {self.inc.n_kmers} kmers")
 
     def cluster(self, min_share: int = 0) -> None:
-        """Per-barcode molecule clustering (``--codeClusters``)."""
+        """Per-barcode molecule clustering (``--codeClusters``).
+
+        With ``n_shards > 1`` (and the default uncapped friend mode) the
+        sparse pipeline distributes over the mesh: routed co-occurrence
+        shards, device-local edges, pmin-merged label propagation
+        (cluster/sparse_dist.py) — identical labels to the single-device
+        path."""
         if self.inc is None:
             raise RuntimeError("cluster requires incidence (run incidence first)")
         cfg = self.cfg
-        self.clusters = cooccur.cluster_codes(
-            self.inc, min_share=min_share or cfg.min_share, mode=cfg.cluster_mode,
-            min_friend_share=cfg.min_friend_share, max_friends=cfg.max_friends)
+        if (cfg.n_shards > 1 and cfg.cluster_mode == "friend"
+                and cfg.max_friends == 0):
+            from .cluster.sparse_dist import cluster_codes_sparse_dist
+            from .dist import sharded as D
+            if jax.process_count() > 1:
+                from .dist import multihost
+                mesh = multihost.global_mesh(cfg.n_shards)
+            else:
+                mesh = D.make_mesh(cfg.n_shards)
+            self.clusters = cluster_codes_sparse_dist(
+                self.inc, mesh, min_friend_share=cfg.min_friend_share)
+        else:
+            self.clusters = cooccur.cluster_codes(
+                self.inc, min_share=min_share or cfg.min_share,
+                mode=cfg.cluster_mode,
+                min_friend_share=cfg.min_friend_share,
+                max_friends=cfg.max_friends)
         n_cl = sum(int(c.max()) + 1 if len(c) else 0 for c in self.clusters)
         self.timer.stage(f"cluster: {n_cl} molecules over {self.inc.n_codes} codes")
 
