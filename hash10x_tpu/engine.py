@@ -411,15 +411,19 @@ class Engine:
         barcodes mode: (hash, barcode) pre-reduction on device — (distinct key,
         n-distinct-barcodes) pairs; required for barcode-count semantics, and
         the buffer then holds ~n_distinct entries instead of ~n_emissions so
-        LSM flushes are ~4x rarer.  occurrences mode: raw emissions — measured
-        FASTER than pre-reducing here (the per-batch sort pair costs more than
-        the flush merge saves at a 16-batch buffer ratio), and there is no
-        overflow to track."""
+        LSM flushes are ~4x rarer.  occurrences mode: pad REMOVAL only (one
+        flat sort; real keys order before the U64MAX pads, which are ~5/6 of
+        the flat width at w=11) — flush merge sorts were the measured count-
+        pass wall, and this shrinks their volume by the pad ratio for the cost
+        of one ~2.5 ms device sort per batch.  Overflow (more distinct-or-not
+        real keys than slots) is counted exactly and raises — never silent."""
+        slots = self._dedup_slots(flat_h.shape[0],
+                                  flat_h.shape[0] // self.cfg.batch_reads)
         if self.cfg.count_mode == "barcodes":
-            slots = self._dedup_slots(flat_h.shape[0],
-                                      flat_h.shape[0] // self.cfg.batch_reads)
             return st.dedup_pairs_weighted(flat_h, flat_bc, slots)
-        return flat_h, None, jnp.zeros((), jnp.uint32)
+        srt = jnp.sort(flat_h)
+        over = jnp.sum(srt[slots:] != jnp.uint64(U64MAX)).astype(jnp.uint32)
+        return srt[:slots], None, over
 
     def _fused_count_step(self, with_nmask: bool, use_kernel: bool):
         """One jit for the whole per-batch count pipeline: unpack, sketch,
@@ -466,10 +470,9 @@ class Engine:
                 return core(buf, bufw, pk, ln, bc, None, buf_n, over)
 
         fn = jax.jit(body, donate_argnums=(0, 1))
-        # entries appended per call (static)
+        # entries appended per call (static): both modes buffer `slots`
         P = read_len - spec.k + 1
-        fn.n_appended = (self._dedup_slots(bsz * P, P)
-                         if cfg.count_mode == "barcodes" else bsz * P)
+        fn.n_appended = self._dedup_slots(bsz * P, P)
         self._step_cache[key] = fn
         return fn
 
