@@ -210,6 +210,61 @@ def bench_sharded(reads):
     return n / best, best
 
 
+def shards_curve_child():
+    """Child-process body for --shards-curve: count-pass walls at n_shards in
+    {1,2,4,8} on an 8-virtual-device CPU mesh.  CPU devices share the host's
+    cores, so this measures the SCALING SHAPE of the sharded path (routing +
+    shard-parallel flush overheads as the mesh grows), not TPU throughput —
+    the points are labeled as such."""
+    import jax
+    from hash10x_tpu.hashspec import HashSpec
+    from hash10x_tpu.engine import Engine, EngineConfig
+    from hash10x_tpu.io.fqb import Fqb
+    from hash10x_tpu.core.encode import pack_2bit
+
+    n = 1 << 14
+    reads = make_lane(n)
+    fqb = Fqb(packed=pack_2bit(reads), lengths=np.full(n, READ_LEN, np.int32),
+              barcode_ids=np.zeros(n, np.int32),
+              barcode_keys=np.zeros(1, np.uint32), read_len=READ_LEN)
+    out = []
+    for s in (1, 2, 4, 8):
+        cfg = EngineConfig(spec=HashSpec(k=K, w=W, seed=SEED),
+                           count_mode="occurrences", table_bits=18,
+                           batch_reads=2048, n_shards=s)
+
+        def run():
+            eng = Engine(cfg, log=None)
+            t0 = time.monotonic()
+            eng.count(fqb)
+            jax.block_until_ready(eng.table.hashes)
+            return time.monotonic() - t0, int(np.asarray(eng.table.n_filled))
+
+        run()  # warm compiles
+        best, n_kmers = min(run() for _ in range(2))
+        out.append({"n_shards": s, "reads_per_s": round(n / best, 1),
+                    "wall_s": round(best, 3), "n_kmers": n_kmers})
+    print(json.dumps(out))
+
+
+def bench_shards_curve():
+    """Run the n_shards curve in a clean subprocess on a CPU virtual mesh
+    (the real environment has ONE chip; the sharded path's multi-chip shape
+    is validated here and by __graft_entry__.dryrun_multichip)."""
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                          " --xla_force_host_platform_device_count=8"),
+               PALLAS_AXON_POOL_IPS="",
+               JAX_COMPILATION_CACHE_DIR="/tmp/h10x_jax_cache_cpu")
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--shards-curve"],
+                       env=env, capture_output=True, text=True, timeout=1200)
+    if r.returncode:
+        raise RuntimeError(r.stderr[-500:])
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def bench_c(reads):
     """Compile and run the C reference on a subset; returns reads/s (or 0)."""
     try:
@@ -266,6 +321,14 @@ def main():
         points.append(walls)
     except Exception as e:
         print(f"bench: barcodes point skipped ({e})", file=sys.stderr)
+    try:
+        curve = bench_shards_curve()
+        points.append({"name": "shards_curve_virtual_cpu_mesh", "curve": curve,
+                       "note": "scaling SHAPE of the sharded path on an "
+                               "8-virtual-device CPU mesh (one real chip in "
+                               "this environment); not TPU throughput"})
+    except Exception as e:
+        print(f"bench: shards curve skipped ({e})", file=sys.stderr)
 
     print(f"bench: engine {eng_rps:,.0f} reads/s ({N_READS} reads, {n_kmers} "
           f"kmers, {eng_dt:.2f}s); kernel {k_rps:,.0f} reads/s; "
@@ -277,4 +340,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--shards-curve" in sys.argv:
+        shards_curve_child()
+    else:
+        main()

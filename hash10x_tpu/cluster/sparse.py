@@ -243,19 +243,32 @@ def propagate_labels(inc: Incidence, p_edges, f_edges, n_f: int) -> np.ndarray:
     fkey = jnp.sort(fkey)
     p_by_f = (fkey % jnp.uint64(inc.n_pairs)).astype(jnp.int32)
     f_sorted = (fkey // jnp.uint64(inc.n_pairs)).astype(jnp.int32)
-    lab = _propagate(p_by_f, f_sorted, p_e.astype(jnp.int32),
-                     f_e.astype(jnp.int32), jnp.asarray(local),
-                     n_p=inc.n_pairs, n_f=n_f)
-    return np.asarray(lab)
+    glob = _propagate(p_by_f, f_sorted, p_e.astype(jnp.int32),
+                      f_e.astype(jnp.int32),
+                      n_p=inc.n_pairs, n_f=n_f)
+    # global min position -> local min k-mer index within the barcode
+    code_of_p = np.repeat(
+        np.arange(inc.n_codes, dtype=np.int64), np.diff(inc.code_offsets))
+    return (np.asarray(glob).astype(np.int64)
+            - inc.code_offsets[code_of_p]).astype(np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_p", "n_f"))
-def _propagate(p_by_f, f_ids_sorted, p_ids_sorted, f_by_p, init,
+def _propagate(p_by_f, f_ids_sorted, p_ids_sorted, f_by_p,
                n_p: int, n_f: int):
     """Fixpoint of the bipartite min-label relaxation (edges pre-sorted both
     ways: (p_by_f, f_ids_sorted) = edge list sorted by f; (p_ids_sorted,
-    f_by_p) = sorted by p)."""
+    f_by_p) = sorted by p).
+
+    Labels are GLOBAL forward-CSR positions (init = arange), so each round can
+    pointer-jump ``lab[lab]`` — a label is itself a position whose label is at
+    least as small and in the same component — collapsing convergence from
+    O(component diameter) rounds to O(log diameter).  Components never cross
+    barcodes, so the fixpoint per position is its component's min global
+    position; callers subtract the barcode's code_offset to recover the local
+    min k-mer index (the oracle's labeling)."""
     big = jnp.int32(2 ** 31 - 1)
+    init = jnp.arange(n_p, dtype=jnp.int32)
 
     def cond(state):
         return state[1]
@@ -269,6 +282,8 @@ def _propagate(p_by_f, f_ids_sorted, p_ids_sorted, f_by_p, init,
                                    num_segments=n_p,
                                    indices_are_sorted=True)
         new = jnp.minimum(lab, jnp.minimum(back, big))
+        new = jnp.minimum(new, new[new])   # pointer jump x2
+        new = jnp.minimum(new, new[new])
         return (new, jnp.any(new != lab))
 
     lab, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))

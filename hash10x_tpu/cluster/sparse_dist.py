@@ -211,12 +211,16 @@ def _make_edge_step(mesh: Mesh, W: int, n_codes: int):
 
 
 def _make_propagate(mesh: Mesh, n_p: int, n_f: int):
+    """Labels are GLOBAL forward-CSR positions (replicated across the mesh),
+    so each round pointer-jumps ``lab[lab]`` locally after the pmin merge —
+    O(log diameter) rounds; see cluster/sparse._propagate."""
     big = jnp.int32(2 ** 31 - 1)
 
     @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P("d"), P()), out_specs=P(),
+                       in_specs=(P("d"),), out_specs=P(),
                        check_vma=False)
-    def prop(ebuf, init):
+    def prop(ebuf):
+        init = jnp.arange(n_p, dtype=jnp.int32)
         e = jnp.sort(ebuf[0])                       # ascending = p-major
         nf_u = jnp.uint64(max(n_f, 1))
         valid = e != _U64MAX
@@ -246,6 +250,8 @@ def _make_propagate(mesh: Mesh, n_p: int, n_f: int):
                 num_segments=n_p + 1, indices_are_sorted=True)[:n_p]
             back = jax.lax.pmin(part_p, "d")
             new = jnp.minimum(lab, jnp.minimum(back, big))
+            new = jnp.minimum(new, new[new])   # pointer jump x2 (local:
+            new = jnp.minimum(new, new[new])   # labels are replicated)
             changed = jax.lax.pmax(jnp.any(new != lab).astype(jnp.int32),
                                    "d") > 0
             return (new, changed)
@@ -289,8 +295,10 @@ def cluster_codes_sparse_dist(inc, mesh: Mesh, min_friend_share: int = 8,
                          jnp.int32(off))
             off += 2 * W
         prop = _make_propagate(mesh, inc.n_pairs, len(fkeys))
-        init = jax.device_put(jnp.asarray(_local_indices(inc)), rep)
-        labels = np.asarray(prop(ebuf, init))
+        glob = np.asarray(prop(ebuf)).astype(np.int64)
+        code_of_p = np.repeat(np.arange(inc.n_codes, dtype=np.int64),
+                              np.diff(inc.code_offsets))
+        labels = (glob - inc.code_offsets[code_of_p]).astype(np.int32)
         canon = canonical_ranks(inc, labels)
     if flat:
         return canon
