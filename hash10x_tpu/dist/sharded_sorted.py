@@ -83,7 +83,8 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
                            modulus: int = 0, lane_capacity: int = 0,
                            use_kernel: bool = False, packed_read_len: int = 0,
                            count_mode: str = "occurrences",
-                           emission_cap_factor: int = 4, syncmer_s: int = 0):
+                           emission_cap_factor: int = 4, syncmer_s: int = 0,
+                           pair_retained=None):
     """Sharded count step over sorted tables.
 
     Returns ``step(table, codes, lengths, bcs, nmask=None) -> table`` where
@@ -103,10 +104,31 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     deduplicated *at the owner shard* — exact even when a barcode's reads are
     split across devices (local pre-routing dedup would undercount there);
     exactness across batches relies on barcode-aligned batching (engine).
+
+    pair_retained: sorted retained-hash array (u64, U64MAX-padded to a
+    power of two so retained sizes bucket into few compiles) — the step then
+    emits INCIDENCE PAIR KEYS ``code * n_kmers + rank(hash)`` instead of raw
+    hashes (the second pass of SURVEY.md §3.1 #6, distributed): keys route by
+    their low bits, owner shards dedup through the same LSM flushes, and
+    ``gather_sorted_compact`` returns the globally sorted unique pair set that
+    ``incidence_from_sorted_pairs`` consumes.  n_kmers is the number of real
+    (non-pad) entries.  Implies pair-key occurrence semantics (the dedup IS the
+    goal; weights are discarded).
     """
     n = mesh.devices.size
     shard_mask = jnp.uint64(n - 1)
     flush_fn = _make_flush(mesh)
+    if pair_retained is not None:
+        retained_d = jnp.asarray(pair_retained)  # replicated closure constant
+        n_kmers_u = jnp.uint64(int(np.sum(np.asarray(pair_retained) != U64MAX)))
+
+        def to_pair_keys(flat_h, flat_bc):
+            idx = jnp.searchsorted(retained_d, flat_h)
+            idx_c = jnp.minimum(idx, retained_d.shape[0] - 1)
+            found = (flat_h != _U64MAX) & (retained_d[idx_c] == flat_h)
+            ok = found & (flat_bc >= 0)
+            key = flat_bc.astype(jnp.uint64) * n_kmers_u + idx_c.astype(jnp.uint64)
+            return jnp.where(ok, key, _U64MAX)
 
     def sketch(codes, lengths, force_jnp):
         if not force_jnp and use_kernel and mode == "minimizer" \
@@ -117,17 +139,29 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
 
     def emissions_of(codes, lengths, bcs, force_jnp):
         """-> (flat_h, flat_bc, cap_overflow) with per-read compaction."""
+        cf = emission_cap_factor
+        kernel_ok = (not force_jnp and use_kernel and mode == "minimizer"
+                     and minimizer_pallas.supported(spec, codes.shape))
+        if cf and mode == "minimizer" and spec.w > 1:
+            Pp = codes.shape[1] - spec.k + 1
+            cap_r = min(Pp, cf * (2 * Pp // (spec.w + 1)) + cf)
+            if kernel_ok:
+                # in-kernel stable compaction: the kernel writes cap_r rows
+                # instead of all Pp (less HBM writeback, no row sort here)
+                h, _, emit, ov = minimizer_pallas.sketch_minimizer_compact(
+                    spec, codes, lengths, cap_r)
+                keyed = jnp.where(emit, h, _U64MAX)
+                over = jnp.sum(ov).astype(jnp.uint32)
+            else:
+                h, _, emit = sketch(codes, lengths, force_jnp)
+                # carry the (constant-per-row) barcode through the row sort
+                keyed = jnp.sort(jnp.where(emit, h, _U64MAX), axis=1)[:, :cap_r]
+                over = jnp.sum(emit.sum(axis=1) > cap_r).astype(jnp.uint32)
+            fb = jnp.broadcast_to(bcs[:, None], (bcs.shape[0], cap_r))
+            return keyed.reshape(-1), fb.reshape(-1), over
         h, _, emit = sketch(codes, lengths, force_jnp)
         Pp = h.shape[1]
         keyed = jnp.where(emit, h, _U64MAX)
-        cf = emission_cap_factor
-        if cf and mode == "minimizer" and spec.w > 1:
-            cap_r = min(Pp, cf * (2 * Pp // (spec.w + 1)) + cf)
-            # carry the (constant-per-row) barcode through the row sort
-            packed = jnp.sort(keyed, axis=1)[:, :cap_r]
-            over = jnp.sum(emit.sum(axis=1) > cap_r).astype(jnp.uint32)
-            fb = jnp.broadcast_to(bcs[:, None], (bcs.shape[0], cap_r))
-            return packed.reshape(-1), fb.reshape(-1), over
         fb = jnp.broadcast_to(bcs[:, None], (bcs.shape[0], Pp))
         return keyed.reshape(-1), fb.reshape(-1), jnp.uint32(0)
 
@@ -140,6 +174,8 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             from ..core.encode import unpack_2bit_jnp
             codes = unpack_2bit_jnp(codes, packed_read_len, nmask)
         flat_h, flat_bc, cap_over = emissions_of(codes, lengths, bcs, force_jnp)
+        if pair_retained is not None:
+            flat_h = to_pair_keys(flat_h, flat_bc)
         E = flat_h.shape[0]
         cap = lane_cap(E)
         dest = jnp.where(flat_h != _U64MAX,

@@ -82,6 +82,12 @@ class EngineConfig:
     emission_cap_factor: int = 4     # batch pre-reduction slots = factor *
                                      # expected distinct keys (0 = full width);
                                      # overflow counted exactly and raises
+    kernel_compact: bool = True      # in-kernel per-read emission compaction:
+                                     # the kernel writes ~2x expected emission
+                                     # rows instead of all P positions (less
+                                     # HBM writeback, smaller pad-removal
+                                     # sorts); per-read overflow is counted
+                                     # exactly and raises — never silent
     n_shards: int = 1                # >1: count pass runs sharded over a device
                                      # mesh (dist/sharded_sorted); downstream
                                      # commands consume the gathered table
@@ -328,7 +334,15 @@ class Engine:
         if (self.cfg.use_kernel and self.cfg.mode == "minimizer"
                 and not has_short and nmask is None
                 and minimizer_pallas.supported(spec, codes.shape)):
-            h, _, emit = minimizer_pallas.sketch_minimizer(spec, codes, lengths)
+            C = self._compact_rows(codes.shape[1] - spec.k + 1)
+            if C:
+                h, _, emit, ov = minimizer_pallas.sketch_minimizer_compact(
+                    spec, codes, lengths, C)
+                self._cap_overflow = self._cap_overflow + \
+                    jnp.sum(ov).astype(jnp.uint32)
+            else:
+                h, _, emit = minimizer_pallas.sketch_minimizer(spec, codes,
+                                                               lengths)
         else:
             h, _, emit = seqhash_jnp.sketch(spec, codes, lengths,
                                             mode=self.cfg.mode, m=self.cfg.modulus,
@@ -339,20 +353,55 @@ class Engine:
         flat_bc = jnp.broadcast_to(jnp.asarray(bcs)[:, None], (len(bcs), P)).reshape(-1)
         return flat_h, flat_bc
 
-    def _dedup_slots(self, n_flat: int, P: int) -> int:
+    def _dedup_slots(self, B: int, P: int, n_flat: int, factor: int = 0) -> int:
         """Static slot count for per-batch pre-reduction: the number of
-        *distinct* keys a batch may produce.  For minimizers the expected
-        emission count is B*2P/(w+1); distinct keys are fewer still, so
-        ``emission_cap_factor`` x expected is generous headroom — overflow is
-        counted exactly and raises (never silent).  Other modes get full width
-        (no bound assumed)."""
-        cf = self.cfg.emission_cap_factor
+        *distinct* keys a batch may produce.  ``B`` reads x ``P`` window
+        positions each, ``n_flat`` actual flat width (smaller than B*P when the
+        kernel pre-compacted).  For minimizers the expected emission count is
+        B*2P/(w+1); distinct keys are fewer still, so ``emission_cap_factor``
+        x expected is generous headroom — overflow is counted exactly and
+        raises (never silent).  Other modes get full width (no bound
+        assumed)."""
+        cf = factor or self.cfg.emission_cap_factor
         spec = self.cfg.spec
         if cf and self.cfg.mode == "minimizer" and spec.w > 1:
-            B = n_flat // P
             expected = B * (2 * P // (spec.w + 1) + 1)
             return min(n_flat, ((cf * expected + 1023) // 1024) * 1024)
         return n_flat
+
+    def _batch_slots(self, B: int, P: int, n_flat: int) -> int:
+        """Per-batch buffered-entry count by count_mode.  barcodes mode keeps
+        the full ``emission_cap_factor`` headroom (dedup slot pressure varies
+        with barcode structure); occurrences mode only needs to hold the real
+        emissions of a batch, whose TOTAL concentrates tightly around the
+        B*2P/(w+1) mean over thousands of reads (per-read counts are
+        independent, and no DNA sequence inflates them — repeats/homopolymers
+        only REDUCE distinct window minima), so mean*5/4 + 4096 is far beyond
+        any non-adversarial batch — buffered pads directly size the flush
+        merge sorts, the measured count-pass wall.  Overflow still raises
+        exactly, never truncates silently."""
+        spec = self.cfg.spec
+        if (self.cfg.count_mode == "barcodes" or not self.cfg.emission_cap_factor
+                or self.cfg.mode != "minimizer" or spec.w <= 1):
+            return self._dedup_slots(B, P, n_flat)
+        expected = B * (2 * P // (spec.w + 1) + 1)
+        slots = expected + expected // 4 + 4096
+        return min(n_flat, ((slots + 1023) // 1024) * 1024)
+
+    def _compact_rows(self, P: int) -> int:
+        """In-kernel compaction width C (0 = off): 2x the expected per-read
+        emission count + slack, rounded to a sublane multiple.  Per-read
+        emissions concentrate hard around 2P/(w+1) (max observed over random
+        150bp reads: 1.3x mean; repeats only REDUCE distinct window minima),
+        so 2x + 16 is past any non-adversarial read — and overflow is counted
+        exactly in-kernel and raises at lane end, never silent."""
+        spec = self.cfg.spec
+        if (not self.cfg.kernel_compact or self.cfg.mode != "minimizer"
+                or spec.w <= 1):
+            return 0
+        c = 2 * (2 * P // (spec.w + 1) + 1) + 16
+        c = ((c + 7) // 8) * 8
+        return c if c < P else 0
 
     # -- table plumbing (sorted-run table with host-scheduled flush/growth) --------
 
@@ -417,8 +466,9 @@ class Engine:
         pass wall, and this shrinks their volume by the pad ratio for the cost
         of one ~2.5 ms device sort per batch.  Overflow (more distinct-or-not
         real keys than slots) is counted exactly and raises — never silent."""
-        slots = self._dedup_slots(flat_h.shape[0],
-                                  flat_h.shape[0] // self.cfg.batch_reads)
+        P_true = self._read_len - self.cfg.spec.k + 1
+        slots = self._batch_slots(self.cfg.batch_reads, P_true,
+                                  flat_h.shape[0])
         if self.cfg.count_mode == "barcodes":
             return st.dedup_pairs_weighted(flat_h, flat_bc, slots)
         srt = jnp.sort(flat_h)
@@ -433,7 +483,7 @@ class Engine:
         cfg = self.cfg
         key = ("count_step", with_nmask, use_kernel, cfg.count_mode,
                cfg.batch_reads, self._read_len, cfg.mode, cfg.modulus,
-               cfg.syncmer_s)
+               cfg.syncmer_s, cfg.kernel_compact)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -441,10 +491,15 @@ class Engine:
         spec = cfg.spec
         bsz = cfg.batch_reads
         read_len = self._read_len
+        C = self._compact_rows(read_len - spec.k + 1) if use_kernel else 0
 
         def core(buf, bufw, pk, ln, bc, nm, buf_n, over):
             codes = unpack_2bit_jnp(pk, read_len, nm)
-            if use_kernel:
+            if use_kernel and C:
+                h, _, emit, ov = minimizer_pallas.sketch_minimizer_compact(
+                    spec, codes, ln, C)
+                over = over + jnp.sum(ov).astype(jnp.uint32)
+            elif use_kernel:
                 h, _, emit = minimizer_pallas.sketch_minimizer(spec, codes, ln)
             else:
                 h, _, emit = seqhash_jnp.sketch(spec, codes, ln, mode=cfg.mode,
@@ -472,7 +527,7 @@ class Engine:
         fn = jax.jit(body, donate_argnums=(0, 1))
         # entries appended per call (static): both modes buffer `slots`
         P = read_len - spec.k + 1
-        fn.n_appended = self._dedup_slots(bsz * P, P)
+        fn.n_appended = self._batch_slots(bsz, P, bsz * (C or P))
         self._step_cache[key] = fn
         return fn
 
@@ -683,9 +738,12 @@ class Engine:
         and fuse with barcodes into u64 pair keys (``pair_keys_jit``); keys
         dedup through the same LSM sorted-run machinery as the count pass; CSR
         assembly is vectorized searchsorted on device
-        (``incidence_from_sorted_pairs``)."""
+        (``incidence_from_sorted_pairs``).  With ``n_shards > 1`` the pass
+        distributes over the mesh (``_incidence_sharded``)."""
         if self.retained_hashes is None:
             self.filter()
+        if self.cfg.n_shards > 1:
+            return self._incidence_sharded(fqb)
         self._read_len = fqb.read_len
         self._cap_overflow = jnp.zeros((), jnp.uint32)
         n_kmers = len(self.retained_hashes)
@@ -698,7 +756,8 @@ class Engine:
             flat_h, flat_bc = self._sketch_flat(packed, nmask, lengths, bcs,
                                                 has_short=meta[2])
             raw = pair_keys_jit(retained_d, flat_h, flat_bc, nk_u)
-            slots = self._dedup_slots(flat_h.shape[0], flat_h.shape[0] // bsz)
+            P_true = fqb.read_len - self.cfg.spec.k + 1
+            slots = self._dedup_slots(bsz, P_true, flat_h.shape[0])
             keys, _, over = st.dedup_weighted(raw, slots)
             self._cap_overflow = self._cap_overflow + over
             n = int(keys.shape[0])
@@ -723,6 +782,80 @@ class Engine:
             pair_keys, n_kmers=n_kmers, n_codes=fqb.n_barcodes)
         self.timer.stage(f"incidence: {self.inc.n_pairs} pairs, "
                          f"{self.inc.n_codes} codes x {self.inc.n_kmers} kmers")
+
+    def _incidence_sharded(self, fqb: Fqb) -> None:
+        """Mesh-distributed incidence build (SURVEY.md §3.2 table-sharding row
+        applied to the code-table pass): DP read batches sketch per device,
+        pair keys ``code * n_kmers + kmer_rank`` route to owner shards by key
+        low bits through one all_to_all, and owner-shard LSM flushes dedup —
+        memory and sort work per shard is 1/n of the pair volume.  The gathered
+        sorted pair set is identical to the single-device pass (tests)."""
+        from .dist import sharded as D
+        from .dist import sharded_sorted as DS
+        cfg = self.cfg
+        if cfg.batch_reads % cfg.n_shards:
+            raise ValueError("batch_reads must be divisible by n_shards")
+        self._read_len = fqb.read_len
+        multi = jax.process_count() > 1
+        if multi:
+            from .dist import multihost
+            mesh = multihost.global_mesh(cfg.n_shards)
+        else:
+            mesh = D.make_mesh(cfg.n_shards)
+        n_kmers = len(self.retained_hashes)
+        # pad the retained set to a power of two so retained sizes bucket into
+        # few distinct compiles (U64MAX pads never match real queries)
+        pad_n = 1 << max(int(n_kmers - 1).bit_length(), 10) if n_kmers else 1024
+        padded = np.full(pad_n, U64MAX, np.uint64)
+        padded[:n_kmers] = self.retained_hashes
+        step = DS.make_sorted_count_step(
+            cfg.spec, mesh, mode=cfg.mode, modulus=cfg.modulus,
+            use_kernel=cfg.use_kernel, packed_read_len=fqb.read_len,
+            count_mode="occurrences",
+            emission_cap_factor=cfg.emission_cap_factor,
+            syncmer_s=cfg.syncmer_s, pair_retained=padded)
+        width = step.recv_width(cfg.batch_reads, fqb.read_len)
+        cap = max((1 << cfg.table_bits) // cfg.n_shards, 1 << 14)
+        dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
+                                   spec=cfg.spec)
+        if multi:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P("d"))
+            pc, pid = jax.process_count(), jax.process_index()
+            if cfg.batch_reads % pc:
+                raise ValueError("batch_reads must be divisible by the "
+                                 "process count")
+            per = cfg.batch_reads // pc
+
+            def to_global(arr):
+                return jax.make_array_from_process_local_data(
+                    sh, np.ascontiguousarray(arr[pid * per:(pid + 1) * per]))
+
+            for packed, nmask, lengths, bcs, meta in self._host_batches(fqb):
+                gid, n_valid, has_short = meta
+                dt = step(dt, to_global(packed), to_global(lengths),
+                          to_global(bcs),
+                          nmask=to_global(nmask) if nmask is not None else None,
+                          force_jnp=has_short or nmask is not None)
+        else:
+            for packed, nmask, lengths, bcs, meta in self._batches(fqb):
+                gid, n_valid, has_short = meta
+                dt = step(dt, packed, lengths, bcs, nmask=nmask,
+                          force_jnp=has_short or nmask is not None)
+        dt = step.finish(dt)
+        drops = DS.host_sum(dt, dt.route_drops)
+        if drops:
+            raise RuntimeError(f"sharded incidence dropped {drops} pair keys "
+                               "(lane/cap overflow); raise lane capacity or "
+                               "emission_cap_factor")
+        if DS.host_sum(dt, dt.spilled):
+            raise RuntimeError("sharded pair table spilled; raise --tableBits")
+        pair_keys, _ = DS.gather_sorted_compact(dt)
+        self.inc = incidence_from_sorted_pairs(
+            pair_keys, n_kmers=n_kmers, n_codes=fqb.n_barcodes)
+        self.timer.stage(
+            f"incidence[sharded x{cfg.n_shards}]: {self.inc.n_pairs} pairs, "
+            f"{self.inc.n_codes} codes x {self.inc.n_kmers} kmers")
 
     def cluster(self, min_share: int = 0) -> None:
         """Per-barcode molecule clustering (``--codeClusters``).

@@ -167,9 +167,11 @@ def _fwd_codes(b, k: int, L: int):
     return acc[0], acc[1]
 
 
-def _make_kernel(spec: HashSpec, L: int):
+def _make_kernel(spec: HashSpec, L: int, compact_to: int = 0):
     k, w = spec.k, spec.w
     P = L - k + 1
+    if compact_to:
+        assert w > 1 and 0 < compact_to <= P
     factor = spec.factor1
     shift1 = spec.shift1
     kb = 2 * k  # total code bits
@@ -181,9 +183,11 @@ def _make_kernel(spec: HashSpec, L: int):
     while a_pow * 2 <= w:
         a_pow *= 2
 
-    def kernel(codes_ref, len_ref, hi_ref, lo_ref, flags_ref):
+    def kernel(codes_ref, len_ref, hi_ref, lo_ref, flags_ref, *over_ref):
         # codes_ref (L, 8, 128) u32; len_ref (8,128) i32
         # outputs: hi/lo (P,8,128) u32, flags (P,8,128) u32 (bit0 emit, bit1 fwd)
+        # with compact_to=C: outputs are (C,8,128) — per-lane emissions moved to
+        # the front — plus over_ref (8,128) i32 counting truncated emissions
         b = codes_ref[...]
         lens = len_ref[...]
         last_pos = lens - k  # max valid k-mer position, may be negative
@@ -253,9 +257,51 @@ def _make_kernel(spec: HashSpec, L: int):
             shifted = jnp.concatenate([pad[0:dd], win_arg[0:P - dd]], axis=0)
             emit = emit | (shifted == pidx_p)
 
-        hi_ref[...] = vh
-        lo_ref[...] = vl
-        flags_ref[...] = jnp.where(emit, _U1, _U0) | (vf << 1)
+        if not compact_to:
+            hi_ref[...] = vh
+            lo_ref[...] = vl
+            flags_ref[...] = jnp.where(emit, _U1, _U0) | (vf << 1)
+            return
+
+        # ---- phase 3: in-lane stable compaction of emissions ----
+        # Each lane (read) moves its emitted positions to the front, preserving
+        # order, so the kernel writes C << P rows to HBM and the engine's
+        # per-batch pad-removal sort shrinks by P/C.  Move distance
+        # d[p] = p - rank[p] (rank = exclusive prefix sum of emit) is
+        # non-decreasing in p with d[q]-d[p] <= q-p-1 for emitted p<q, so
+        # moving LSB-first by power-of-two shifts is collision-free and
+        # order-preserving (binary shift compaction).
+        C = compact_to
+        em32 = jnp.where(emit, 1, 0).astype(jnp.int32)
+        inc = em32
+        s = 1
+        while s < P:  # inclusive prefix sum along positions (log-step)
+            inc = inc + jnp.concatenate(
+                [jnp.zeros((s, _SUB, _LANES), jnp.int32), inc[:P - s]], axis=0)
+            s *= 2
+        d = jax.lax.broadcasted_iota(jnp.int32, (P, _SUB, _LANES), 0) \
+            - (inc - em32)
+        live = emit
+        xh, xl, xf = vh, vl, vf
+
+        def _up(x, s, fill):
+            return jnp.concatenate(
+                [x[s:], jnp.full((s, _SUB, _LANES), fill, x.dtype)], axis=0)
+
+        s = 1
+        while s < P:
+            cand = _up(live, s, False) & ((_up(d, s, 0) & s) != 0)
+            live = cand | (live & ((d & s) == 0))
+            xh = jnp.where(cand, _up(xh, s, _INF), xh)
+            xl = jnp.where(cand, _up(xl, s, _INF), xl)
+            xf = jnp.where(cand, _up(xf, s, _U0), xf)
+            d = jnp.where(cand, _up(d, s, 0), d)
+            s *= 2
+        live_c = live[:C]
+        hi_ref[...] = jnp.where(live_c, xh[:C], _INF)
+        lo_ref[...] = jnp.where(live_c, xl[:C], _INF)
+        flags_ref[...] = jnp.where(live_c, _U1 | (xf[:C] << 1), _U0)
+        over_ref[0][...] = jnp.maximum(inc[P - 1] - C, 0)
 
     return kernel, P
 
@@ -265,21 +311,14 @@ def supported(spec: HashSpec, codes_shape: Tuple[int, int]) -> bool:
     return (B % _ROWS == 0) and (L - spec.k + 1) >= spec.w
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def sketch_minimizer(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray):
-    """Fused minimizer sketch.
-
-    codes (B, L) uint8 with B a multiple of 1024 and codes in [0,3]; lengths (B,).
-    Returns (hashes (B,P) uint64, is_forward (B,P) bool, emit (B,P) bool) —
-    bit-identical to ``seqhash_jnp.sketch(..., mode='minimizer')`` for reads with
-    length >= k+w-1 or length < k; lengths in between emit nothing (engine routes
-    those through the jnp path).
-    """
+def _sketch_call(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray,
+                 compact_to: int):
     B, L = codes.shape
     if not supported(spec, (B, L)):
         raise ValueError(f"kernel needs B % {_ROWS} == 0 and P >= w")
-    kernel, P = _make_kernel(spec, L)
+    kernel, P = _make_kernel(spec, L, compact_to)
     nblk = B // _ROWS
+    R = compact_to or P  # output rows
 
     # lanes layout: (L, B//128, 128) u32; block = 8 consecutive 128-lane groups
     ct = codes.astype(jnp.uint32).transpose(1, 0).reshape(L, B // _LANES, _LANES)
@@ -290,10 +329,18 @@ def sketch_minimizer(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray):
 
     grid = (nblk,)
     out_shape = [
-        jax.ShapeDtypeStruct((P, B // _LANES, _LANES), jnp.uint32),
-        jax.ShapeDtypeStruct((P, B // _LANES, _LANES), jnp.uint32),
-        jax.ShapeDtypeStruct((P, B // _LANES, _LANES), jnp.uint32),
+        jax.ShapeDtypeStruct((R, B // _LANES, _LANES), jnp.uint32),
+        jax.ShapeDtypeStruct((R, B // _LANES, _LANES), jnp.uint32),
+        jax.ShapeDtypeStruct((R, B // _LANES, _LANES), jnp.uint32),
     ]
+    row_spec = pl.BlockSpec((R, _SUB, _LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [row_spec, row_spec, row_spec]
+    if compact_to:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B // _LANES, _LANES), jnp.int32))
+        out_specs.append(pl.BlockSpec((_SUB, _LANES), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
     # x64 mode poisons Mosaic's grid/index lowering with int64 scalars (infinite
     # convert_element_type recursion / func.return legalization failures); the
     # kernel is pure 32-bit, so trace it with x64 off.
@@ -309,24 +356,51 @@ def sketch_minimizer(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray):
                 pl.BlockSpec((_SUB, _LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((P, _SUB, _LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, _SUB, _LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, _SUB, _LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_specs=out_specs,
             out_shape=out_shape,
         )
-        hi, lo, flags = call(ct, lt)
+        outs = call(ct, lt)
+    hi, lo, flags = outs[:3]
 
-    # back to (B, P); reconstruct u64 and masks
-    hi = hi.reshape(P, B).transpose(1, 0)
-    lo = lo.reshape(P, B).transpose(1, 0)
-    flags = flags.reshape(P, B).transpose(1, 0)
+    # back to (B, R); reconstruct u64 and masks
+    hi = hi.reshape(R, B).transpose(1, 0)
+    lo = lo.reshape(R, B).transpose(1, 0)
+    flags = flags.reshape(R, B).transpose(1, 0)
     emit = (flags & 1).astype(bool)
     fwd = ((flags >> 1) & 1).astype(bool)
     hashes = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
     # invalid positions read as INF:INF -> U64MAX already
+    if compact_to:
+        return hashes, fwd, emit, outs[3].reshape(B)
     return hashes, fwd, emit
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def sketch_minimizer(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray):
+    """Fused minimizer sketch.
+
+    codes (B, L) uint8 with B a multiple of 1024 and codes in [0,3]; lengths (B,).
+    Returns (hashes (B,P) uint64, is_forward (B,P) bool, emit (B,P) bool) —
+    bit-identical to ``seqhash_jnp.sketch(..., mode='minimizer')`` for reads with
+    length >= k+w-1 or length < k; lengths in between emit nothing (engine routes
+    those through the jnp path).
+    """
+    return _sketch_call(spec, codes, lengths, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def sketch_minimizer_compact(spec: HashSpec, codes: jnp.ndarray,
+                             lengths: jnp.ndarray, compact_to: int):
+    """Minimizer sketch with in-kernel emission compaction.
+
+    Like :func:`sketch_minimizer`, but every read's emissions are moved to the
+    front of its lane inside the kernel (stable binary-shift compaction), so
+    the outputs are (B, C) with C = ``compact_to`` << P — ~P/C less HBM
+    writeback, and downstream pad-removal sorts shrink by the same factor.
+    Returns (hashes (B,C) u64 with U64MAX pads after each read's emissions,
+    is_forward (B,C), emit (B,C), overflow (B,) i32 — emissions beyond C per
+    read, counted exactly so callers can raise, never silent).  Emission ORDER
+    within a read is preserved (ascending k-mer position), and the (hash, fwd)
+    multiset equals the uncompacted kernel's emitted set (tests enforce).
+    """
+    return _sketch_call(spec, codes, lengths, compact_to)

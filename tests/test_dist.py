@@ -201,5 +201,44 @@ def test_engine_sharded_equals_single():
     assert (a.histogram(64) == b.histogram(64)).all()
     assert (a.retained_hashes == b.retained_hashes).all()
     assert (a.retained_counts == b.retained_counts).all()
+    # the sharded incidence build must reproduce the exact pair set
+    assert (a.inc.code_offsets == b.inc.code_offsets).all()
+    assert (a.inc.code_kmers == b.inc.code_kmers).all()
+    assert (a.inc.kmer_offsets == b.inc.kmer_offsets).all()
+    assert (a.inc.kmer_codes == b.inc.kmer_codes).all()
     for c in range(a.inc.n_codes):
         assert a.clusters[c].tolist() == b.clusters[c].tolist()
+
+
+@pytest.mark.parametrize("n_mesh", [2, 8])
+def test_sharded_incidence_with_ns_and_short_reads(n_mesh):
+    """The sharded incidence pass must stay exact through the jnp fallbacks:
+    reads with N bases (nmask) and short reads (0 < P_i < w)."""
+    from hash10x_tpu.engine import Engine, EngineConfig
+    from hash10x_tpu.io import fqb as FB
+    from hash10x_tpu.io.sim import SimConfig, simulate
+    sim = simulate(SimConfig(genome_len=40_000, n_barcodes=12,
+                             molecules_per_barcode=2, molecule_len=4000,
+                             reads_per_molecule=24, read_len=100, seed=5))
+    rb = sim.reads
+    # inject Ns into some reads and shorten others into the 0 < P_i < w band
+    codes = rb.codes.copy()
+    lens = rb.lengths.copy()
+    spec = HashSpec(k=21, w=7, seed=17)
+    codes[::7, 3] = 4                        # N (invalid base)
+    lens[3::11] = spec.k + spec.w - 3        # P_i = w - 2: kernel would skip
+    rb2 = type(rb)(codes=codes, lengths=lens, barcodes=rb.barcodes)
+    fqb = FB.from_read_batch(rb2)
+    outs = []
+    for n in (1, n_mesh):
+        eng = Engine(EngineConfig(spec=spec, table_bits=16, batch_reads=512,
+                                  min_count=2, max_count=40, n_shards=n),
+                     log=None)
+        eng.count(fqb)
+        eng.filter()
+        eng.incidence(fqb)
+        outs.append(eng.inc)
+    a, b = outs
+    assert a.n_pairs == b.n_pairs
+    assert (a.code_offsets == b.code_offsets).all()
+    assert (a.code_kmers == b.code_kmers).all()

@@ -52,3 +52,39 @@ def test_kernel_rejects_bad_shapes(rng):
     with pytest.raises(ValueError):
         MP.sketch_minimizer(spec, jnp.zeros((100, 150), jnp.uint8),
                             jnp.full(100, 150, jnp.int32))
+
+
+def compare_compact(spec, codes, lengths, C):
+    """Compacted kernel == uncompacted kernel with emissions moved front,
+    order preserved, exact per-read overflow counts."""
+    h0, f0, e0 = (np.asarray(x) for x in
+                  MP.sketch_minimizer(spec, jnp.asarray(codes),
+                                      jnp.asarray(lengths)))
+    h1, f1, e1, ov = (np.asarray(x) for x in
+                      MP.sketch_minimizer_compact(spec, jnp.asarray(codes),
+                                                  jnp.asarray(lengths), C))
+    U = np.uint64(2**64 - 1)
+    for r in range(len(codes)):
+        exp = [(int(h0[r, p]), bool(f0[r, p]))
+               for p in range(h0.shape[1]) if e0[r, p]]
+        got = [(int(h1[r, j]), bool(f1[r, j])) for j in range(C) if e1[r, j]]
+        assert got == exp[:len(got)], f"read {r}"
+        assert int(ov[r]) == max(len(exp) - C, 0), f"read {r} overflow"
+        assert (h1[r, len(got):] == U).all(), f"read {r} pads"
+
+
+@pytest.mark.parametrize("k,w,C", [(21, 11, 64), (17, 7, 48), (31, 2, 64)])
+def test_kernel_compaction_matches(rng, k, w, C):
+    spec = HashSpec(k=k, w=w, seed=17)
+    L = max(96, k + w + 10)
+    codes = np.stack([random_codes(rng, L) for _ in range(1024)])
+    lengths = rng.integers(0, L + 1, size=1024).astype(np.int32)
+    compare_compact(spec, codes, lengths, C)
+
+
+def test_kernel_compaction_overflow_exact(rng):
+    """A tiny C forces per-read overflow; counts must be exact (never silent)."""
+    spec = HashSpec(k=21, w=3, seed=17)
+    codes = np.stack([random_codes(rng, 128) for _ in range(1024)])
+    lengths = np.full(1024, 128, np.int32)
+    compare_compact(spec, codes, lengths, 8)
