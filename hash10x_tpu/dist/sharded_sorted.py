@@ -1,15 +1,20 @@
 """Sharded sorted-run count tables: the production multi-chip count path.
 
-Same mesh/routing design as ``sharded.py`` (DP read shards, owner-shard routing
-by hash low bits over one all_to_all, psum merges — SURVEY.md §3.2), but each
-shard's table is the sort-centric ``table/sorted_table.py`` design that measures
-~15x faster than open-addressing probing on this hardware.  Received lanes are
-appended to a per-shard buffer; flushes run shard-parallel under the same mesh.
+Same mesh design as ``sharded.py`` (DP read shards, one all_to_all of
+owner-routed emissions, psum merges — SURVEY.md §3.2), but each shard's table
+is the sort-centric ``table/sorted_table.py`` design that measures ~15x faster
+than open-addressing probing on this hardware, and hashes route by the TOP
+bits of their 2k-bit value range: shard s owns a contiguous ascending key
+range, so the per-shard sorted tables concatenate into the globally sorted
+table with no re-sort, and canonical global k-mer ids are shard-local ranks
+plus a shard offset — no host-side global sort at any scale (distributed
+canonical ids).  Received lanes are appended to a per-shard buffer; flushes
+run shard-parallel under the same mesh.
 
 Also provides the sharded-table snapshot/restore of SURVEY.md §6
-(checkpoint/resume row): per-shard (hash, count) arrays + a json manifest holding
-the HashSpec and shard map; reload is mesh-shape-portable (pairs are re-routed by
-hash low bits under the target mesh size).
+(checkpoint/resume row): per-shard (hash, count) arrays + a json manifest
+holding the HashSpec, routing rule, and shard map; reload is mesh-shape-
+portable (keys re-route under the target mesh size).
 """
 
 from __future__ import annotations
@@ -36,12 +41,21 @@ _U64MAX = jnp.uint64(U64MAX)
 
 
 class ShardedSortedTable:
-    """Per-shard sorted tables as (n, C)/(n, Bc) device-sharded arrays."""
+    """Per-shard sorted tables as (n, C)/(n, Bc) device-sharded arrays.
+
+    routing="top" (default): shard = top ``shard_bits`` of the hash's 2k-bit
+    value range — shard s owns a contiguous ascending key range, so the
+    per-shard sorted tables concatenate into the GLOBALLY sorted table with no
+    re-sort, and a key's canonical global rank is shard_offset[s] + local
+    rank (the distributed-canonical-ids property; the mixed hash's top bits
+    are uniform).  routing="low": shard = key & (n-1) — for key spaces whose
+    top bits are not uniform (incidence pair keys are code-major)."""
 
     def __init__(self, mesh: Mesh, capacity: int, buf_capacity: int,
-                 spec: Optional[HashSpec] = None):
+                 spec: Optional[HashSpec] = None, routing: str = "top"):
         self.mesh = mesh
         self.spec = spec
+        self.routing = routing
         self.n_shards = mesh.devices.size
         self.shard_bits = int(self.n_shards - 1).bit_length()
         if (1 << self.shard_bits) != self.n_shards:
@@ -116,7 +130,24 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     goal; weights are discarded).
     """
     n = mesh.devices.size
+    shard_bits = int(n - 1).bit_length()
+    # hash values span 2k bits (hashspec: (x*factor1 mod 2^64) >> (64-2k));
+    # route by their TOP bits so shard s owns a contiguous ascending range —
+    # gather is then a concat and global ranks are shard-local ranks plus an
+    # offset (distributed canonical ids).  Pair keys (code-major top bits)
+    # route by LOW bits instead.
+    hash_bits = 64 - spec.shift1
+    assert shard_bits <= hash_bits
+    routing = "low" if pair_retained is not None else "top"
+    top_shift = jnp.uint64(hash_bits - shard_bits)
     shard_mask = jnp.uint64(n - 1)
+
+    def dest_of(keys):
+        valid = keys != _U64MAX
+        if routing == "top":
+            return jnp.where(valid, (keys >> top_shift).astype(jnp.int32), n)
+        return jnp.where(valid, (keys & shard_mask).astype(jnp.int32), n)
+
     flush_fn = _make_flush(mesh)
     if pair_retained is not None:
         retained_d = jnp.asarray(pair_retained)  # replicated closure constant
@@ -178,8 +209,7 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             flat_h = to_pair_keys(flat_h, flat_bc)
         E = flat_h.shape[0]
         cap = lane_cap(E)
-        dest = jnp.where(flat_h != _U64MAX,
-                         (flat_h & shard_mask).astype(jnp.int32), n)
+        dest = dest_of(flat_h)
         order = jnp.argsort(dest, stable=True)
         hs, ds, bs = flat_h[order], dest[order], flat_bc[order]
         pos = jnp.arange(E, dtype=jnp.int32) - jnp.searchsorted(
@@ -250,6 +280,9 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
 
     def apply(t: ShardedSortedTable, codes, lengths, bcs,
               nmask=None, force_jnp=None) -> ShardedSortedTable:
+        if t.routing != routing:
+            raise ValueError(f"table routing {t.routing!r} != step routing "
+                             f"{routing!r}")
         L = packed_read_len or codes.shape[1]
         width = recv_width(codes.shape[0], L)
         if t.buf_n + width > t.buf_capacity:
@@ -313,6 +346,12 @@ def gather_sorted_compact(t: ShardedSortedTable, min_count: int = 0,
                           max_count: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Host-gathered global (hash, count), ascending — canonical global ids.
 
+    With routing="top" the shards own contiguous ascending key ranges, so the
+    gather is a pad-stripping CONCAT — no global re-sort; a key's canonical
+    global rank is its shard's offset plus its local rank (the distributed-
+    canonical-ids property the pod-scale path relies on).  routing="low"
+    shards interleave and need the sort.
+
     Multi-process: shards on other hosts are not addressable, so replicate
     first (jit identity with a replicated out-sharding inserts the
     all_gather); every process then holds the identical global table."""
@@ -329,8 +368,10 @@ def gather_sorted_compact(t: ShardedSortedTable, min_count: int = 0,
     if max_count:
         keep &= c <= max_count
     h, c = h[keep], c[keep]
-    order = np.argsort(h, kind="stable")
-    return h[order], c[order]
+    if t.routing != "top":
+        order = np.argsort(h, kind="stable")
+        h, c = h[order], c[order]
+    return h, c
 
 
 # -- sharded snapshot / restore (SURVEY.md §6 checkpoint row) --------------------
@@ -339,10 +380,11 @@ def save_snapshot(t: ShardedSortedTable, path: str) -> None:
     """Per-shard (hash, count) files + manifest; the .hash-file analog."""
     os.makedirs(path, exist_ok=True)
     manifest = {
-        "version": 1,
+        "version": 2,
         "n_shards": t.n_shards,
         "shard_bits": t.shard_bits,
         "capacity": t.capacity,
+        "routing": t.routing,
         "spec": json.loads(t.spec.to_json()) if t.spec else None,
     }
     hashes = np.asarray(t.hashes)
@@ -358,8 +400,8 @@ def save_snapshot(t: ShardedSortedTable, path: str) -> None:
 def load_snapshot(path: str, mesh: Mesh, capacity: int = 0,
                   buf_capacity: int = 0,
                   expect_spec: Optional[HashSpec] = None) -> ShardedSortedTable:
-    """Restore a snapshot onto ``mesh`` (any power-of-two size — pairs re-route
-    by hash low bits under the new shard count)."""
+    """Restore a snapshot onto ``mesh`` (any power-of-two size — keys re-route
+    under the new shard count by the manifest's routing rule)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     spec = HashSpec(**manifest["spec"]) if manifest["spec"] else None
@@ -376,11 +418,19 @@ def load_snapshot(path: str, mesh: Mesh, capacity: int = 0,
 
     n = mesh.devices.size
     cap = capacity or manifest["capacity"]
-    t = ShardedSortedTable(mesh, cap, buf_capacity or cap, spec=spec)
-    # route by low bits under the new mesh; merge shard-parallel
+    routing = manifest.get("routing", "low")  # v1 snapshots routed by low bits
+    t = ShardedSortedTable(mesh, cap, buf_capacity or cap, spec=spec,
+                           routing=routing)
+    # re-route under the new mesh size; merge shard-parallel
     per_shard_h = np.full((n, cap), U64MAX, np.uint64)
     per_shard_c = np.zeros((n, cap), np.uint32)
-    dest = (all_h & (n - 1)).astype(np.int64)
+    if routing == "top":
+        if spec is None:
+            raise ValueError("top-bit-routed snapshot requires a spec")
+        hash_bits = 64 - spec.shift1
+        dest = (all_h >> (hash_bits - int(n - 1).bit_length())).astype(np.int64)
+    else:
+        dest = (all_h & (n - 1)).astype(np.int64)
     for s in range(n):
         sel = dest == s
         m = int(sel.sum())

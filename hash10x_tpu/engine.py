@@ -817,7 +817,7 @@ class Engine:
         width = step.recv_width(cfg.batch_reads, fqb.read_len)
         cap = max((1 << cfg.table_bits) // cfg.n_shards, 1 << 14)
         dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
-                                   spec=cfg.spec)
+                                   spec=cfg.spec, routing="low")
         if multi:
             from jax.sharding import NamedSharding, PartitionSpec as P
             sh = NamedSharding(mesh, P("d"))

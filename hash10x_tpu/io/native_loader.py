@@ -37,18 +37,22 @@ def _build() -> Optional[ctypes.CDLL]:
     tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
     so = cache / f"h10x_loader_{tag}.so"
     if not so.exists():
-        try:
-            subprocess.run(
-                ["gcc", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-                 "-o", str(so), str(_SRC)],
-                check=True, capture_output=True)
-        except Exception:
-            try:  # no OpenMP? plain build
+        # flag fallbacks: full (OpenMP + zlib) -> no zlib -> plain
+        variants = [
+            ["-O3", "-march=native", "-fopenmp", "-DH10X_HAVE_ZLIB", "-lz"],
+            ["-O3", "-march=native", "-fopenmp"],
+            ["-O3"],
+        ]
+        for flags in variants:
+            try:
                 subprocess.run(
-                    ["gcc", "-O3", "-shared", "-fPIC", "-o", str(so), str(_SRC)],
-                    check=True, capture_output=True)
+                    ["gcc", "-shared", "-fPIC", "-o", str(so), str(_SRC)]
+                    + flags, check=True, capture_output=True)
+                break
             except Exception:
-                return None
+                continue
+        else:
+            return None
     lib = ctypes.CDLL(str(so))
     lib.h10x_count_records.restype = ctypes.c_long
     lib.h10x_count_records.argtypes = [ctypes.c_char_p, ctypes.c_long]
@@ -64,6 +68,12 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32)]
+    if hasattr(lib, "h10x_gz_read"):
+        lib.h10x_gz_read.restype = ctypes.c_long
+        lib.h10x_gz_read.argtypes = [ctypes.c_char_p,
+                                     ctypes.POINTER(ctypes.c_void_p)]
+        lib.h10x_free.restype = None
+        lib.h10x_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -78,20 +88,39 @@ def load_fastq_native(path, bc_len: int = 16, max_len: int = 0
     """FASTQ file -> (packed (N, W) u32, lengths (N,) i32, barcode keys (N,) u32,
     read_len, nmask (N, ceil(L/32)) u32 or None when the lane has no Ns).
     Returns None when the native library is unavailable (caller falls back to
-    the numpy parser).  Gzip inputs decompress in Python first.
+    the numpy parser).  When built with zlib, .gz (and plain) inputs stream
+    through native gzread into one C buffer — no Python-side decompress, no
+    extra copy; otherwise .gz decompresses via the gzip module first.
     """
     lib = _build()
     if lib is None:
         return None
     p = str(path)
-    if p.endswith(".gz"):
+    native_ptr = None
+    if hasattr(lib, "h10x_gz_read"):
+        ptr = ctypes.c_void_p()
+        n = lib.h10x_gz_read(p.encode(), ctypes.byref(ptr))
+        if n < 0:
+            raise OSError(f"{p}: cannot open/decompress")
+        native_ptr = ptr
+        buf = ctypes.cast(ptr, ctypes.c_char_p)
+    elif p.endswith(".gz"):
         import gzip
         data = gzip.open(p, "rb").read()
+        n = len(data)
+        buf = ctypes.create_string_buffer(data, n)
     else:
         data = Path(p).read_bytes()
-    n = len(data)
-    buf = ctypes.create_string_buffer(data, n)
+        n = len(data)
+        buf = ctypes.create_string_buffer(data, n)
+    try:
+        return _parse_buffer(lib, buf, n, bc_len, max_len, p)
+    finally:
+        if native_ptr is not None:
+            lib.h10x_free(native_ptr)
 
+
+def _parse_buffer(lib, buf, n, bc_len, max_len, path):
     n_rec_est = lib.h10x_count_records(buf, n)
     if n_rec_est <= 0:
         return (np.zeros((0, 0), np.uint32), np.zeros(0, np.int32),

@@ -19,10 +19,15 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 #ifdef _OPENMP
 #include <omp.h>
+#endif
+
+#ifdef H10X_HAVE_ZLIB
+#include <zlib.h>
 #endif
 
 static const uint8_t LUT[256] = {
@@ -38,6 +43,41 @@ __attribute__((constructor)) static void init_lut(void) {
   lut['g'] = lut['G'] = 2;
   lut['t'] = lut['T'] = 3;
 }
+
+#ifdef H10X_HAVE_ZLIB
+/* Inflate a .gz (or plain) file into a C-allocated buffer via zlib's gzread
+ * (transparent for uncompressed input), realloc-doubling — the gzip path of
+ * the loader stays native end to end instead of decompressing in Python
+ * first.  Returns the byte length and stores the buffer through *out (caller
+ * must h10x_free it); -1 on any error. */
+long h10x_gz_read(const char *path, void **out) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return -1;
+  gzbuffer(f, 1u << 20);
+  size_t cap = 1u << 24, n = 0;
+  char *buf = (char *)malloc(cap);
+  if (!buf) { gzclose(f); return -1; }
+  for (;;) {
+    if (n == cap) {
+      cap *= 2;
+      char *nb = (char *)realloc(buf, cap);
+      if (!nb) { free(buf); gzclose(f); return -1; }
+      buf = nb;
+    }
+    size_t want = cap - n;
+    if (want > (1u << 30)) want = 1u << 30;
+    int got = gzread(f, buf + n, (unsigned)want);
+    if (got < 0) { free(buf); gzclose(f); return -1; }
+    if (got == 0) break;
+    n += (size_t)got;
+  }
+  gzclose(f);
+  *out = buf;
+  return (long)n;
+}
+
+void h10x_free(void *p) { free(p); }
+#endif
 
 /* Count FASTQ records (lines / 4). */
 long h10x_count_records(const char *buf, long n) {

@@ -50,6 +50,30 @@ def test_kernel_mosaic_bit_equals_jnp_and_oracle(rng):
         assert got == want
 
 
+def test_kernel_compaction_mosaic(rng):
+    """The in-kernel binary-shift compaction under real Mosaic lowering:
+    emissions match the uncompacted kernel, front-packed in position order,
+    with exact per-read overflow counts."""
+    B, L, C = 1024, 150, 64
+    codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+    lengths[:4] = [150, 100, 31, 0]
+    h0, f0, e0 = (np.asarray(x) for x in
+                  MP.sketch_minimizer(SPEC, jnp.asarray(codes),
+                                      jnp.asarray(lengths)))
+    h1, f1, e1, ov = (np.asarray(x) for x in
+                      MP.sketch_minimizer_compact(SPEC, jnp.asarray(codes),
+                                                  jnp.asarray(lengths), C))
+    assert ov.sum() == 0
+    U = np.uint64(2**64 - 1)
+    for r in range(B):
+        exp = [(int(h0[r, p]), bool(f0[r, p]))
+               for p in range(h0.shape[1]) if e0[r, p]]
+        got = [(int(h1[r, j]), bool(f1[r, j])) for j in range(C) if e1[r, j]]
+        assert got == exp, f"read {r}"
+        assert (h1[r, len(got):] == U).all(), f"read {r} pads"
+
+
 def test_sorted_table_flush_grow_on_chip(rng):
     """flush_grow adopts capacity on device without spilling."""
     keys = rng.integers(0, 1 << 20, size=1 << 16, dtype=np.uint64)
