@@ -171,7 +171,13 @@ def cooccurrence_counts_dist(inc, mesh: Mesh, chunk: int = 1 << 20,
     if int(np.asarray(jnp.sum(spilled))):
         raise RuntimeError("sharded co-occurrence table spilled; raise chunk "
                            "or shard count")
-    # host gather, ascending (shards partition by low bits: merge by sort)
+    # host gather, ascending (shards partition by low bits: merge by sort).
+    # Multi-process: shards on other hosts are not addressable — replicate
+    # first (jit identity with replicated out-sharding inserts the all_gather)
+    if not hashes.is_fully_addressable:
+        rep = NamedSharding(mesh, P())
+        hashes, counts = jax.jit(lambda a, b: (a, b),
+                                 out_shardings=(rep, rep))(hashes, counts)
     h = np.asarray(hashes).reshape(-1)
     c = np.asarray(counts).reshape(-1)
     keep = h != U64MAX

@@ -57,8 +57,11 @@ def test_two_process_cli_matches_single(tmp_path):
     make_lane(str(lane))
     counts1 = tmp_path / "counts1.txt"
     counts2 = tmp_path / "counts2.txt"
-    params = ["-k", "13", "-w", "5", "-r", "17", "--batchReads", "128"]
-    cmds = ["--readFQB", str(lane), "--hashDist"]
+    params = ["-k", "13", "-w", "5", "-r", "17", "--batchReads", "128",
+              "--minCount", "2", "--maxCount", "60", "--friendShare", "2"]
+    # full pipeline: sharded count + sharded incidence + distributed cluster
+    cmds = ["--readFQB", str(lane), "--hashDist", "--codeClusters",
+            "--clusterReport"]
 
     # single process, sharded over 2 virtual CPU devices
     p = run_cli(params + ["--shards", "2"] + cmds
