@@ -44,6 +44,8 @@ Commands (executed in order):
   --writeCounts <f>    dump (hash, count) table as text (diffable vs oracle)
   --writeClusters <f>  dump (code, kmer hash, cluster) assignments as text
   --metrics <file>     append per-command JSONL metrics
+  --devMem             add device HBM bytes-in-use to the per-command lines
+  --profile <dir>      jax.profiler trace of all later commands (TensorBoard)
   --cluster | --codeClusters   count-band filter + incidence + per-barcode clusters
   --clusterSplit       remap (code, cluster) -> new molecule codes
   --clusterReport      per-code cluster report to stdout
@@ -119,6 +121,7 @@ class _State:
         self.syncmer_s = 0
         self.n_shards = 1
         self.metrics_path = None
+        self.device_mem = False
         self.engine: Optional[Engine] = None
         self.fqb = None
         self.crib = None
@@ -134,9 +137,10 @@ class _State:
                 min_friend_share=self.min_friend_share, syncmer_s=self.syncmer_s,
                 max_friends=self.max_friends, n_shards=self.n_shards)
             self.engine = Engine(cfg, log=self.err)
-            if self.metrics_path:
+            if self.metrics_path or self.device_mem:
                 from ..utils.timing import StageTimer
-                self.engine.timer = StageTimer(self.err, self.metrics_path)
+                self.engine.timer = StageTimer(self.err, self.metrics_path,
+                                               device_mem=self.device_mem)
         else:
             # the sequential command language allows tunables to change between
             # commands ("parameters take effect for later commands"); sync them
@@ -192,6 +196,7 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
     if multi and st.n_shards == 1:
         st.n_shards = jax.device_count()
     st.is_coord = is_coord
+    profile_dir = None
     i = 0
 
     def need(n: int, flag: str) -> List[str]:
@@ -244,6 +249,16 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             st.engine = None
         elif a == "--metrics":
             st.metrics_path = need(1, a)[0]
+        elif a == "--devMem":
+            st.device_mem = True
+        elif a == "--profile":
+            # jax.profiler trace of everything after this flag (TensorBoard/
+            # Perfetto-readable) — SURVEY.md §6 tracing row's TPU equivalent
+            if profile_dir is None:
+                profile_dir = need(1, a)[0]
+                jax.profiler.start_trace(profile_dir)
+            else:
+                need(1, a)
         elif a == "-t":
             need(1, a)  # accepted for compatibility; XLA owns parallelism
         # ---- commands ----
@@ -321,6 +336,9 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         else:
             raise SystemExit(f"unknown argument {a!r} (see --help)")
         i += 1
+    if profile_dir is not None:
+        jax.profiler.stop_trace()
+        err.write(f"[profile] trace written to {profile_dir}\n")
     return 0
 
 
