@@ -35,6 +35,8 @@ Commands (executed in order):
   --readFastq <fq>     parse FASTQ (16bp GEM barcode prefix) and run the count pass
   --readFastqPair <r1> <r2>   paired lane: R1 = barcode+genomic, R2 = genomic
   --readFQB <fqb>      load packed reads and run the count pass
+  --readFQBShard <fqb> multi-host: each process loads only its own
+                       barcode-disjoint shard file ("{host}" -> process id)
   --writeFQB <out>     write the last-read lane as packed fqb
   --hashInfo           table summary to stdout
   --hashDist           count histogram to stdout
@@ -124,6 +126,7 @@ class _State:
         self.device_mem = False
         self.engine: Optional[Engine] = None
         self.fqb = None
+        self.fqb_is_local = False
         self.crib = None
 
     def get_engine(self) -> Engine:
@@ -271,7 +274,16 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             st.get_engine().count(st.fqb)
         elif a == "--readFQB":
             st.fqb = FB.load_fqb(need(1, a)[0])
+            st.fqb_is_local = False
             st.get_engine().count(st.fqb)
+        elif a == "--readFQBShard":
+            # per-process input shards (SURVEY.md §3.2 DP row): each process
+            # loads ONLY its own barcode-disjoint fqb file; "{host}" in the
+            # path expands to the process id
+            path = need(1, a)[0].replace("{host}", str(jax.process_index()))
+            st.fqb = FB.load_fqb(path)
+            st.fqb_is_local = True
+            st.get_engine().count(st.fqb, local_shard=True)
         elif a == "--writeFQB":
             if st.fqb is None:
                 raise SystemExit("--writeFQB: no reads loaded")
@@ -308,7 +320,7 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             eng = st.get_engine()
             if st.fqb is not None:
                 eng.filter(st.min_count, st.max_count)
-                eng.incidence(st.fqb)
+                eng.incidence(st.fqb, local_shard=st.fqb_is_local)
             elif eng.inc is None:
                 raise SystemExit("--codeClusters: no reads loaded for incidence "
                                  "(and no incidence in a loaded checkpoint)")

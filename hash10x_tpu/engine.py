@@ -156,11 +156,11 @@ class Engine:
         valid = jnp.arange(bsz, dtype=jnp.int32)[:, None] < jnp.int32(m)
         return jnp.where(valid, nm, 0)
 
-    def _spans(self, fqb: Fqb):
+    def _spans(self, fqb: Fqb, bsz: int = 0):
         """Barcode-sorted lane arrays + batch spans (a, b, group_id or None),
         boundaries aligned so one barcode never straddles a batch; a barcode
         with more reads than a batch streams alone as a tagged group."""
-        bsz = self.cfg.batch_reads
+        bsz = bsz or self.cfg.batch_reads
         order = np.argsort(fqb.barcode_ids, kind="stable")
         packed_all = fqb.packed[order]
         lengths_all = fqb.lengths[order]
@@ -218,6 +218,103 @@ class Engine:
             P_i = seg.astype(np.int64) - k + 1
             has_short = bool(((P_i > 0) & (P_i < w)).any())
             yield packed, nmask, lengths, bcs, (g, n_valid, has_short)
+
+    def _local_shard_batches(self, fqb: Fqb):
+        """Per-process input shards (SURVEY.md §3.2 DP row: "per-host input
+        shards of the fqb stream").  Each process holds ITS OWN reads — shard
+        files must be barcode-DISJOINT (verified by an allgather of barcode
+        keys) — and contributes row block pid of every global batch, so
+        batches stay barcode-aligned per process and owner-shard dedup stays
+        exact.  Yields LOCAL blocks of ``batch_reads // process_count`` rows:
+        (packed, nmask_or_None, lengths, GLOBAL barcode ids, (gid, n_valid,
+        has_short_global)); per-batch step-variant choices (has_short, has_n)
+        are global ORs so every process picks the same jit variant (SPMD).
+        Sets ``self._global_n_barcodes``."""
+        from jax.experimental import multihost_utils as mu
+        pc = jax.process_count()
+        bsz = self.cfg.batch_reads
+        if bsz % pc:
+            raise ValueError("batch_reads must be divisible by the process count")
+        per = bsz // pc
+        k, w = self.cfg.spec.k, self.cfg.spec.w
+
+        # read_len must agree across processes (packed width is global shape)
+        rls = np.asarray(mu.process_allgather(
+            np.array([fqb.read_len], np.int64), tiled=False)).reshape(-1)
+        if not (rls == rls[0]).all():
+            raise ValueError(f"shard files disagree on read_len: {rls.tolist()}")
+
+        # global dense barcode ids = local ids + this process's offset;
+        # disjointness of the shard files' barcode keys is verified globally
+        counts = np.asarray(mu.process_allgather(
+            np.array([fqb.n_barcodes], np.int64), tiled=False)).reshape(-1)
+        self._global_n_barcodes = int(counts.sum())
+        maxb = max(int(counts.max()), 1)
+        pad_keys = np.zeros(maxb, np.uint64)
+        pad_keys[:fqb.n_barcodes] = fqb.barcode_keys.astype(np.uint64)
+        all_keys = np.asarray(mu.process_allgather(pad_keys, tiled=False)
+                              ).reshape(len(counts), maxb)
+        flat_keys = np.concatenate(
+            [all_keys[p, :counts[p]] for p in range(len(counts))])
+        sorted_keys = np.sort(flat_keys)
+        if len(flat_keys) and (sorted_keys[1:] == sorted_keys[:-1]).any():
+            raise ValueError(
+                "per-process fqb shards share barcodes; shard files must be "
+                "barcode-disjoint (split the lane by barcode)")
+        # global dense id = rank of the key in the GLOBAL sorted key set —
+        # identical to the ids a single process would assign to the full lane,
+        # however the lane was split
+        local2global = np.searchsorted(
+            sorted_keys, fqb.barcode_keys.astype(np.uint64)).astype(np.int32)
+        if len(local2global) == 0:   # no barcodes: loc is all -1 below
+            local2global = np.zeros(1, np.int32)
+
+        packed_all, lengths_all, bc_all, nmask_all, spans = \
+            self._spans(fqb, bsz=per)
+        W = packed_all.shape[1]
+        n_local = len(spans)
+        n_global = int(np.asarray(mu.process_allgather(
+            np.array([n_local], np.int64), tiled=False)).max())
+
+        # per-batch global ORs for the SPMD variant choice, one allgather each
+        hs = np.zeros(n_global, bool)
+        hn = np.zeros(n_global, bool)
+        gid_any = False
+        for b, (a, e, g) in enumerate(spans):
+            seg = lengths_all[a:e]
+            P_i = seg.astype(np.int64) - k + 1
+            hs[b] = bool(((P_i > 0) & (P_i < w)).any())
+            hn[b] = bool(nmask_all is not None and nmask_all[a:e].any())
+            gid_any = gid_any or g is not None
+        hs = np.asarray(mu.process_allgather(hs, tiled=False)).any(axis=0)
+        hn = np.asarray(mu.process_allgather(hn, tiled=False)).any(axis=0)
+        if bool(np.asarray(mu.process_allgather(
+                np.array([gid_any]), tiled=False)).any()) \
+                and self.cfg.count_mode == "barcodes":
+            raise RuntimeError(
+                "a barcode has more reads than its per-process batch block; "
+                "raise --batchReads")
+
+        nw = nmask_all.shape[1] if nmask_all is not None \
+            else (fqb.read_len + 31) // 32
+        for b in range(n_global):
+            packed = np.zeros((per, W), np.uint32)
+            lengths = np.zeros(per, np.int32)
+            bcs = np.full(per, -1, np.int32)
+            nmask = np.zeros((per, nw), np.uint32) if hn[b] else None
+            n_valid = 0
+            if b < n_local:
+                a, e, g = spans[b]
+                m = e - a
+                packed[:m] = packed_all[a:e]
+                lengths[:m] = lengths_all[a:e]
+                loc = bc_all[a:e]
+                bcs[:m] = np.where(loc >= 0,
+                                   local2global[np.maximum(loc, 0)], -1)
+                if nmask is not None and nmask_all is not None:
+                    nmask[:m] = nmask_all[a:e]
+                n_valid = int((lengths_all[a:e] > 0).sum())
+            yield packed, nmask, lengths, bcs, (None, n_valid, bool(hs[b]))
 
     def _chunks(self, fqb: Fqb):
         """Yield device-resident transfer chunks with their batch spans.
@@ -531,7 +628,7 @@ class Engine:
         self._step_cache[key] = fn
         return fn
 
-    def count(self, fqb: Fqb) -> None:
+    def count(self, fqb: Fqb, local_shard: bool = False) -> None:
         """Count pass: stream reads through the sketch into the count table.
 
         The steady state is fully asynchronous: one fused jit dispatch per
@@ -541,9 +638,16 @@ class Engine:
         reads than a batch) arrive as tagged batch groups; in barcodes mode
         their hashes dedup across the group through a side sorted-table before
         entering the main table, so counts stay exact (the round-1 path raised
-        instead — real lanes contain pathological barcodes)."""
+        instead — real lanes contain pathological barcodes).
+
+        ``local_shard=True`` (multi-process only): ``fqb`` is THIS process's
+        input shard of the lane (barcode-disjoint shard files) rather than the
+        full lane — the per-host-input-shards DP row of SURVEY.md §3.2."""
         if self.cfg.n_shards > 1:
-            return self._count_sharded(fqb)
+            return self._count_sharded(fqb, local_shard)
+        if local_shard:
+            raise ValueError("local_shard input requires --shards over a "
+                             "multi-process mesh")
         self._read_len = fqb.read_len
         self._cap_overflow = jnp.zeros((), jnp.uint32)
         cur_gid, gtab = None, None
@@ -601,7 +705,33 @@ class Engine:
                          f"{int(np.asarray(t.n_filled))} kmers, "
                          f"spilled {int(np.asarray(t.spilled))}")
 
-    def _count_sharded(self, fqb: Fqb) -> None:
+    def _multi_feed(self, fqb: Fqb, mesh, local_shard: bool):
+        """Multi-process batch feed: (to_global, batch iterator).
+
+        local_shard=False: every process loaded the FULL lane; all compute the
+        identical global schedule and contribute rows [pid*per, (pid+1)*per) of
+        each global batch.  local_shard=True: every process loaded only ITS
+        barcode-disjoint input shard; each contributes its own per-row block
+        (``_local_shard_batches``)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P("d"))
+        pc, pid = jax.process_count(), jax.process_index()
+        if self.cfg.batch_reads % pc:
+            raise ValueError("batch_reads must be divisible by the "
+                             "process count")
+        per = self.cfg.batch_reads // pc
+        if local_shard:
+            def to_global(arr):
+                return jax.make_array_from_process_local_data(
+                    sh, np.ascontiguousarray(arr))
+            return to_global, self._local_shard_batches(fqb)
+
+        def to_global(arr):
+            return jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(arr[pid * per:(pid + 1) * per]))
+        return to_global, self._host_batches(fqb)
+
+    def _count_sharded(self, fqb: Fqb, local_shard: bool = False) -> None:
         """Sharded count pass (SURVEY.md §3.2): DP read batches over the mesh,
         all_to_all emission routing to hash-owner shards, shard-parallel sorted
         flushes; the gathered global table feeds the unchanged downstream
@@ -636,19 +766,9 @@ class Engine:
         dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
                                    spec=cfg.spec)
         if multi:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(mesh, P("d"))
-            pc, pid = jax.process_count(), jax.process_index()
-            if cfg.batch_reads % pc:
-                raise ValueError("batch_reads must be divisible by the "
-                                 "process count")
-            per = cfg.batch_reads // pc
-
-            def to_global(arr):
-                return jax.make_array_from_process_local_data(
-                    sh, np.ascontiguousarray(arr[pid * per:(pid + 1) * per]))
-
-            for packed, nmask, lengths, bcs, meta in self._host_batches(fqb):
+            to_global, batches = self._multi_feed(fqb, mesh, local_shard)
+            n_new = 0
+            for packed, nmask, lengths, bcs, meta in batches:
                 gid, n_valid, has_short = meta
                 if gid is not None and cfg.count_mode == "barcodes":
                     raise RuntimeError(
@@ -659,7 +779,12 @@ class Engine:
                           to_global(bcs),
                           nmask=to_global(nmask) if nmask is not None else None,
                           force_jnp=has_short or nmask is not None)
-                self.n_reads_counted += n_valid
+                n_new += n_valid
+            if local_shard:
+                from jax.experimental import multihost_utils as mu
+                n_new = int(np.asarray(mu.process_allgather(
+                    np.array([n_new], np.int64), tiled=False)).sum())
+            self.n_reads_counted += n_new
         else:
             for packed, nmask, lengths, bcs, meta in self._batches(fqb):
                 gid, n_valid, has_short = meta
@@ -731,7 +856,7 @@ class Engine:
         self.retained_hashes, self.retained_counts = st.compact(self._flushed(), lo, hi)
         self.timer.stage(f"filter [{lo},{hi}]: {len(self.retained_hashes)} kmers kept")
 
-    def incidence(self, fqb: Fqb) -> None:
+    def incidence(self, fqb: Fqb, local_shard: bool = False) -> None:
         """Second pass: build the deduplicated k-mer x barcode incidence.
 
         Device-resident end to end: per batch, hashes map to retained-set ranks
@@ -743,7 +868,10 @@ class Engine:
         if self.retained_hashes is None:
             self.filter()
         if self.cfg.n_shards > 1:
-            return self._incidence_sharded(fqb)
+            return self._incidence_sharded(fqb, local_shard)
+        if local_shard:
+            raise ValueError("local_shard input requires --shards over a "
+                             "multi-process mesh")
         self._read_len = fqb.read_len
         self._cap_overflow = jnp.zeros((), jnp.uint32)
         n_kmers = len(self.retained_hashes)
@@ -783,7 +911,7 @@ class Engine:
         self.timer.stage(f"incidence: {self.inc.n_pairs} pairs, "
                          f"{self.inc.n_codes} codes x {self.inc.n_kmers} kmers")
 
-    def _incidence_sharded(self, fqb: Fqb) -> None:
+    def _incidence_sharded(self, fqb: Fqb, local_shard: bool = False) -> None:
         """Mesh-distributed incidence build (SURVEY.md §3.2 table-sharding row
         applied to the code-table pass): DP read batches sketch per device,
         pair keys ``code * n_kmers + kmer_rank`` route to owner shards by key
@@ -819,19 +947,8 @@ class Engine:
         dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
                                    spec=cfg.spec, routing="low")
         if multi:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(mesh, P("d"))
-            pc, pid = jax.process_count(), jax.process_index()
-            if cfg.batch_reads % pc:
-                raise ValueError("batch_reads must be divisible by the "
-                                 "process count")
-            per = cfg.batch_reads // pc
-
-            def to_global(arr):
-                return jax.make_array_from_process_local_data(
-                    sh, np.ascontiguousarray(arr[pid * per:(pid + 1) * per]))
-
-            for packed, nmask, lengths, bcs, meta in self._host_batches(fqb):
+            to_global, batches = self._multi_feed(fqb, mesh, local_shard)
+            for packed, nmask, lengths, bcs, meta in batches:
                 gid, n_valid, has_short = meta
                 dt = step(dt, to_global(packed), to_global(lengths),
                           to_global(bcs),
@@ -851,8 +968,9 @@ class Engine:
         if DS.host_sum(dt, dt.spilled):
             raise RuntimeError("sharded pair table spilled; raise --tableBits")
         pair_keys, _ = DS.gather_sorted_compact(dt)
+        n_codes = self._global_n_barcodes if local_shard else fqb.n_barcodes
         self.inc = incidence_from_sorted_pairs(
-            pair_keys, n_kmers=n_kmers, n_codes=fqb.n_barcodes)
+            pair_keys, n_kmers=n_kmers, n_codes=n_codes)
         self.timer.stage(
             f"incidence[sharded x{cfg.n_shards}]: {self.inc.n_pairs} pairs, "
             f"{self.inc.n_codes} codes x {self.inc.n_kmers} kmers")

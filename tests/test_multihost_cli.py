@@ -92,3 +92,59 @@ def test_two_process_cli_matches_single(tmp_path):
     assert clean(outs[0]) == clean(out1)  # coordinator stdout == single-process
     assert clean(outs[1]) == []           # non-coordinator writes nothing
     assert counts1.read_text() == counts2.read_text()
+
+
+@pytest.mark.slow
+def test_per_process_shard_files_match_full_lane(tmp_path):
+    """--readFQBShard (SURVEY.md §3.2 DP row "per-host input shards"): two
+    processes each loading HALF the lane (split by barcode) must reproduce the
+    single-process full-lane run byte-for-byte — counts, histogram, and
+    cluster report (global barcode ids are ranks in the global key set)."""
+    import hash10x_tpu  # noqa: F401
+    from hash10x_tpu.io.fqb import load_fqb, save_fqb, Fqb
+    lane = tmp_path / "lane.fqb.npz"
+    make_lane(str(lane))
+    fqb = load_fqb(str(lane))
+    # split by barcode key parity (NOT by rank ranges: ids must still match)
+    for pid in range(2):
+        sel = np.isin(fqb.barcode_ids,
+                      np.nonzero(fqb.barcode_keys.astype(np.int64) % 2 == pid)[0])
+        keys = np.unique(fqb.barcode_keys[fqb.barcode_ids[sel]])
+        ids = np.searchsorted(keys, fqb.barcode_keys[fqb.barcode_ids[sel]])
+        save_fqb(str(tmp_path / f"shard{pid}.fqb.npz"), Fqb(
+            packed=fqb.packed[sel], lengths=fqb.lengths[sel],
+            barcode_ids=ids.astype(np.int32), barcode_keys=keys,
+            read_len=fqb.read_len,
+            nmask=fqb.nmask[sel] if fqb.nmask is not None else None))
+
+    params = ["-k", "13", "-w", "5", "-r", "17", "--batchReads", "128",
+              "--minCount", "2", "--maxCount", "60", "--friendShare", "2"]
+    tail = ["--hashDist", "--codeClusters", "--clusterReport"]
+    counts1 = tmp_path / "c1.txt"
+    counts2 = tmp_path / "c2.txt"
+
+    p = run_cli(params + ["--shards", "2", "--readFQB", str(lane)] + tail
+                + ["--writeCounts", str(counts1)],
+                {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    out1, err1 = p.communicate(timeout=600)
+    assert p.returncode == 0, err1[-2000:]
+
+    port = free_port()
+    procs = [run_cli(
+        ["--hosts", "2", "--hostId", str(pid),
+         "--coordinator", f"127.0.0.1:{port}"] + params
+        + ["--readFQBShard", str(tmp_path / "shard{host}.fqb.npz")] + tail
+        + ["--writeCounts", str(counts2)],
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+
+    def clean(s):
+        return [l for l in s.splitlines() if not l.startswith("[Gloo]")]
+
+    assert clean(outs[0]) == clean(out1)
+    assert counts1.read_text() == counts2.read_text()
