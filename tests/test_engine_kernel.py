@@ -1,0 +1,47 @@
+"""Engine count pass through the Pallas kernel (interpret mode on CPU):
+the kernel path — with and without in-kernel emission compaction — must
+produce counts bit-identical to the jnp sketch path (SURVEY.md §5 items 2-3
+at the engine surface; the Mosaic lowering of the same kernel regresses in
+tests_tpu/)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from hash10x_tpu.hashspec import HashSpec
+from hash10x_tpu.engine import Engine, EngineConfig
+from hash10x_tpu.io.fqb import Fqb
+from hash10x_tpu.core.encode import pack_2bit
+
+
+def make_fqb(rng, n=1024, L=150, n_codes=16):
+    genome = rng.integers(0, 4, size=60_000).astype(np.uint8)
+    starts = rng.integers(0, len(genome) - L, size=n)
+    reads = np.stack([genome[s:s + L] for s in starts])
+    bcs = rng.integers(0, n_codes, size=n).astype(np.int32)
+    return Fqb(packed=pack_2bit(reads), lengths=np.full(n, L, np.int32),
+               barcode_ids=bcs,
+               barcode_keys=np.arange(n_codes, dtype=np.uint32), read_len=L)
+
+
+def counts_text(eng, fqb, count_mode):
+    eng.count(fqb)
+    buf = io.StringIO()
+    eng.write_counts(buf)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("count_mode", ["occurrences", "barcodes"])
+def test_engine_kernel_compaction_matches_jnp(rng, count_mode):
+    fqb = make_fqb(rng)
+    spec = HashSpec(k=21, w=11, seed=17)
+    outs = []
+    for use_kernel, compact in ((False, False), (True, False), (True, True)):
+        cfg = EngineConfig(spec=spec, count_mode=count_mode, table_bits=16,
+                           batch_reads=1024, use_kernel=use_kernel,
+                           kernel_compact=compact)
+        eng = Engine(cfg, log=None)
+        outs.append(counts_text(eng, fqb, count_mode))
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0].count("\n") > 100
