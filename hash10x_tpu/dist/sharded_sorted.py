@@ -162,17 +162,19 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             return jnp.where(ok, key, _U64MAX)
 
     def sketch(codes, lengths, force_jnp):
-        if not force_jnp and use_kernel and mode == "minimizer" \
-                and minimizer_pallas.supported(spec, codes.shape):
-            return minimizer_pallas.sketch_minimizer(spec, codes, lengths)
+        if not force_jnp and use_kernel and minimizer_pallas.supported(
+                spec, codes.shape, mode, modulus, syncmer_s):
+            return minimizer_pallas.sketch(spec, codes, lengths, mode=mode,
+                                           m=modulus, syncmer_s=syncmer_s)
         return seqhash_jnp.sketch(spec, codes, lengths, mode=mode, m=modulus,
                                   syncmer_s=syncmer_s)
 
     def emissions_of(codes, lengths, bcs, force_jnp):
         """-> (flat_h, flat_bc, cap_overflow) with per-read compaction."""
         cf = emission_cap_factor
-        kernel_ok = (not force_jnp and use_kernel and mode == "minimizer"
-                     and minimizer_pallas.supported(spec, codes.shape))
+        kernel_ok = (not force_jnp and use_kernel
+                     and minimizer_pallas.supported(spec, codes.shape, mode,
+                                                    modulus, syncmer_s))
         if cf and mode == "minimizer" and spec.w > 1:
             Pp = codes.shape[1] - spec.k + 1
             cap_r = min(Pp, cf * (2 * Pp // (spec.w + 1)) + cf)

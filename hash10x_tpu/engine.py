@@ -428,18 +428,19 @@ class Engine:
         if has_short is None:
             P_i = np.asarray(lengths) - spec.k + 1
             has_short = bool(((P_i > 0) & (P_i < spec.w)).any())
-        if (self.cfg.use_kernel and self.cfg.mode == "minimizer"
-                and not has_short and nmask is None
-                and minimizer_pallas.supported(spec, codes.shape)):
+        if self._kernel_ok(codes.shape, has_short, nmask is not None):
             C = self._compact_rows(codes.shape[1] - spec.k + 1)
             if C:
-                h, _, emit, ov = minimizer_pallas.sketch_minimizer_compact(
-                    spec, codes, lengths, C)
+                h, _, emit, ov = minimizer_pallas.sketch(
+                    spec, codes, lengths, mode=self.cfg.mode,
+                    m=self.cfg.modulus, syncmer_s=self.cfg.syncmer_s,
+                    compact_to=C)
                 self._cap_overflow = self._cap_overflow + \
                     jnp.sum(ov).astype(jnp.uint32)
             else:
-                h, _, emit = minimizer_pallas.sketch_minimizer(spec, codes,
-                                                               lengths)
+                h, _, emit = minimizer_pallas.sketch(
+                    spec, codes, lengths, mode=self.cfg.mode,
+                    m=self.cfg.modulus, syncmer_s=self.cfg.syncmer_s)
         else:
             h, _, emit = seqhash_jnp.sketch(spec, codes, lengths,
                                             mode=self.cfg.mode, m=self.cfg.modulus,
@@ -488,17 +489,37 @@ class Engine:
     def _compact_rows(self, P: int) -> int:
         """In-kernel compaction width C (0 = off): 2x the expected per-read
         emission count + slack, rounded to a sublane multiple.  Per-read
-        emissions concentrate hard around 2P/(w+1) (max observed over random
-        150bp reads: 1.3x mean; repeats only REDUCE distinct window minima),
+        emissions concentrate hard around their mean (minimizer: 2P/(w+1),
+        max observed over random 150bp reads 1.3x mean — repeats only REDUCE
+        distinct window minima; modimizer: P/m binomial; syncmer: P/(k-s+1)),
         so 2x + 16 is past any non-adversarial read — and overflow is counted
-        exactly in-kernel and raises at lane end, never silent."""
-        spec = self.cfg.spec
-        if (not self.cfg.kernel_compact or self.cfg.mode != "minimizer"
-                or spec.w <= 1):
+        exactly in-kernel and raises at lane end, never silent.  kmer mode
+        emits every position: nothing to compact."""
+        cfg = self.cfg
+        spec = cfg.spec
+        if not cfg.kernel_compact:
             return 0
-        c = 2 * (2 * P // (spec.w + 1) + 1) + 16
-        c = ((c + 7) // 8) * 8
+        if cfg.mode == "minimizer" and spec.w > 1:
+            expected = 2 * P // (spec.w + 1) + 1
+        elif cfg.mode == "modimizer":
+            expected = P // max(cfg.modulus or spec.w, 1) + 1
+        elif cfg.mode == "syncmer" and cfg.syncmer_s:
+            expected = P // (spec.k - cfg.syncmer_s + 1) + 1
+        else:
+            return 0
+        c = ((2 * expected + 16 + 7) // 8) * 8
         return c if c < P else 0
+
+    def _kernel_ok(self, shape, has_short: bool, has_nmask: bool) -> bool:
+        """Whether this batch can run through the Pallas sketch kernel: shapes
+        supported for the mode, codes in [0,3] (no N sideband), and — for
+        minimizer mode only — no reads in the 0 < P_i < w band (their
+        broken-run emission rule lives in the jnp path)."""
+        cfg = self.cfg
+        return (cfg.use_kernel and not has_nmask
+                and (cfg.mode != "minimizer" or not has_short)
+                and minimizer_pallas.supported(cfg.spec, shape, cfg.mode,
+                                               cfg.modulus, cfg.syncmer_s))
 
     # -- table plumbing (sorted-run table with host-scheduled flush/growth) --------
 
@@ -593,11 +614,14 @@ class Engine:
         def core(buf, bufw, pk, ln, bc, nm, buf_n, over):
             codes = unpack_2bit_jnp(pk, read_len, nm)
             if use_kernel and C:
-                h, _, emit, ov = minimizer_pallas.sketch_minimizer_compact(
-                    spec, codes, ln, C)
+                h, _, emit, ov = minimizer_pallas.sketch(
+                    spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
+                    syncmer_s=cfg.syncmer_s, compact_to=C)
                 over = over + jnp.sum(ov).astype(jnp.uint32)
             elif use_kernel:
-                h, _, emit = minimizer_pallas.sketch_minimizer(spec, codes, ln)
+                h, _, emit = minimizer_pallas.sketch(
+                    spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
+                    syncmer_s=cfg.syncmer_s)
             else:
                 h, _, emit = seqhash_jnp.sketch(spec, codes, ln, mode=cfg.mode,
                                                 m=cfg.modulus,
@@ -663,10 +687,8 @@ class Engine:
             cur_gid = gid
             if gid is None or cfg.count_mode != "barcodes":
                 # fast path: one fused dispatch into the main buffer
-                use_kernel = (cfg.use_kernel and cfg.mode == "minimizer"
-                              and not has_short and nmask is None
-                              and minimizer_pallas.supported(
-                                  spec, (bsz, self._read_len)))
+                use_kernel = self._kernel_ok((bsz, self._read_len),
+                                             has_short, nmask is not None)
                 step = self._fused_count_step(nmask is not None, use_kernel)
                 self._ensure_table(step.n_appended)
                 self._pre_append(step.n_appended)

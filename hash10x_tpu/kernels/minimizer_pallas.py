@@ -49,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..hashspec import HashSpec
 
-__all__ = ["sketch_minimizer", "supported"]
+__all__ = ["sketch", "sketch_minimizer", "sketch_minimizer_compact",
+           "supported"]
 
 _LANES = 128
 _SUB = 8
@@ -122,6 +123,15 @@ def _lexlt(a_hi, a_lo, b_hi, b_lo):
     return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
 
 
+def _mod_is_zero(hi, lo, m: int):
+    """(hi:lo) % m == 0 for static m < 2^16, folded through u32 arithmetic:
+    (hi*2^32 + lo) mod m = ((hi mod m)*(2^32 mod m) + lo mod m) mod m; every
+    intermediate stays under 2^32 because m < 2^16."""
+    mu = jnp.uint32(m)
+    r32 = jnp.uint32((1 << 32) % m)
+    return ((hi % mu) * r32 + (lo % mu)) % mu == 0
+
+
 def _lexmin3(a, b):
     """min over ((hi, lo, idx), ...) with leftmost (smallest idx) tie-break."""
     a_hi, a_lo, a_i = a
@@ -167,66 +177,54 @@ def _fwd_codes(b, k: int, L: int):
     return acc[0], acc[1]
 
 
-def _make_kernel(spec: HashSpec, L: int, compact_to: int = 0):
+def _make_kernel(spec: HashSpec, L: int, compact_to: int = 0,
+                 mode: str = "minimizer", m: int = 0, syncmer_s: int = 0,
+                 sub_seed: int = 0):
     k, w = spec.k, spec.w
     P = L - k + 1
     if compact_to:
-        assert w > 1 and 0 < compact_to <= P
-    factor = spec.factor1
-    shift1 = spec.shift1
-    kb = 2 * k  # total code bits
-    hi_mask = (1 << max(kb - 32, 0)) - 1 if kb > 32 else 0
-    lo_mask = (1 << min(kb, 32)) - 1
-
+        assert 0 < compact_to <= P
+        if mode == "minimizer":
+            assert w > 1
+    if mode == "modimizer":
+        m = m or w
+        assert 1 < m < (1 << 16)  # u32-safe folding in _mod_is_zero
+    if mode == "syncmer":
+        assert 0 < syncmer_s < k
+        sub = HashSpec(k=syncmer_s, w=1, seed=sub_seed or spec.seed)
     # largest power of two <= w (window tree root); w == 1 handled separately
     a_pow = 1
     while a_pow * 2 <= w:
         a_pow *= 2
 
-    def kernel(codes_ref, len_ref, hi_ref, lo_ref, flags_ref, *over_ref):
-        # codes_ref (L, 8, 128) u32; len_ref (8,128) i32
-        # outputs: hi/lo (P,8,128) u32, flags (P,8,128) u32 (bit0 emit, bit1 fwd)
-        # with compact_to=C: outputs are (C,8,128) — per-lane emissions moved to
-        # the front — plus over_ref (8,128) i32 counting truncated emissions
-        b = codes_ref[...]
-        lens = len_ref[...]
-        last_pos = lens - k  # max valid k-mer position, may be negative
-
-        # ---- phase 1: parallel code construction + mix + canonicalize ----
-        f_hi, f_lo = _fwd_codes(b, k, L)
-        f_hi, f_lo = f_hi[:P], f_lo[:P]
+    def canonical(b, kk: int, factor: int, shift1: int):
+        """Phase 1 for window size kk: parallel code construction + mix +
+        canonicalize.  Returns (hi, lo, fwd) arrays of length L - kk + 1."""
+        kb = 2 * kk
+        hi_mask = (1 << max(kb - 32, 0)) - 1 if kb > 32 else 0
+        lo_mask = (1 << min(kb, 32)) - 1
+        n = L - kk + 1
+        f_hi, f_lo = _fwd_codes(b, kk, L)
+        f_hi, f_lo = f_hi[:n], f_lo[:n]
         # reverse-complement code: complement (XOR the 2k-bit mask), reverse
         # the 32 2-bit groups of the 64-bit pair (per-word reversal + word
         # swap), then drop the 64-2k low garbage bits
         c_hi = f_hi ^ jnp.uint32(hi_mask)
         c_lo = f_lo ^ jnp.uint32(lo_mask)
         r_hi, r_lo = _pair_shr(_rev2_word(c_lo), _rev2_word(c_hi), 64 - kb)
-
         hf_hi, hf_lo = _mix_shift(f_hi, f_lo, factor, shift1)
         hr_hi, hr_lo = _mix_shift(r_hi, r_lo, factor, shift1)
         fwd = _lexlt(hf_hi, hf_lo, hr_hi, hr_lo)
-        vh = jnp.where(fwd, hf_hi, hr_hi)
-        vl = jnp.where(fwd, hf_lo, hr_lo)
-        vf = jnp.where(fwd, _U1, _U0)
+        return (jnp.where(fwd, hf_hi, hr_hi),
+                jnp.where(fwd, hf_lo, hr_lo), fwd)
 
-        # mask positions beyond each read's end; INF-pad a w-deep tail so
-        # shifted slices in the window tree never read out of bounds
-        pmask = jax.lax.broadcasted_iota(jnp.int32, (P, _SUB, _LANES), 0) \
-            <= last_pos[None]
-        vh = jnp.where(pmask, vh, _INF)
-        vl = jnp.where(pmask, vl, _INF)
+    def minimizer_emit(vh, vl, last_pos, pmask):
+        """Phase 2: window-min tree over (value, index), leftmost ties."""
+        if w == 1:
+            return pmask
         inf_tail = jnp.full((w, _SUB, _LANES), _INF, jnp.uint32)
         mh = jnp.concatenate([vh, inf_tail], axis=0)
         ml = jnp.concatenate([vl, inf_tail], axis=0)
-
-        if w == 1:
-            emit1 = (vh != _INF) | (vl != _INF)
-            flags_ref[...] = jnp.where(emit1, _U1, _U0) | (vf << 1)
-            hi_ref[...] = vh
-            lo_ref[...] = vl
-            return
-
-        # ---- phase 2: window-min tree over (value, index), leftmost ties ----
         Ppad = P + w
         mi = jax.lax.broadcasted_iota(jnp.int32, (Ppad, _SUB, _LANES), 0)
         n = Ppad
@@ -256,6 +254,44 @@ def _make_kernel(spec: HashSpec, L: int, compact_to: int = 0):
             # window start s = p - dd: static shift via concat
             shifted = jnp.concatenate([pad[0:dd], win_arg[0:P - dd]], axis=0)
             emit = emit | (shifted == pidx_p)
+        return emit
+
+    def kernel(codes_ref, len_ref, hi_ref, lo_ref, flags_ref, *over_ref):
+        # codes_ref (L, 8, 128) u32; len_ref (8,128) i32
+        # outputs: hi/lo (P,8,128) u32, flags (P,8,128) u32 (bit0 emit, bit1 fwd)
+        # with compact_to=C: outputs are (C,8,128) — per-lane emissions moved to
+        # the front — plus over_ref (8,128) i32 counting truncated emissions
+        b = codes_ref[...]
+        lens = len_ref[...]
+        last_pos = lens - k  # max valid k-mer position, may be negative
+
+        vh, vl, fwd = canonical(b, k, spec.factor1, spec.shift1)
+        vf = jnp.where(fwd, _U1, _U0)
+
+        # mask positions beyond each read's end
+        pmask = jax.lax.broadcasted_iota(jnp.int32, (P, _SUB, _LANES), 0) \
+            <= last_pos[None]
+        vh = jnp.where(pmask, vh, _INF)
+        vl = jnp.where(pmask, vl, _INF)
+
+        if mode == "kmer":
+            emit = pmask
+        elif mode == "modimizer":
+            emit = pmask & _mod_is_zero(vh, vl, m)
+        elif mode == "syncmer":
+            # open syncmer: keep a k-mer iff its minimal canonical s-mer hash
+            # sits at offset 0 (leftmost tie-break => smer[0] <= all others);
+            # all compared s-mers lie inside the k-mer window, so pmask
+            # suffices for validity.  s-mer array length L-s+1 = P + span - 1.
+            sh, sl, _ = canonical(b, syncmer_s, sub.factor1, sub.shift1)
+            span = k - syncmer_s + 1
+            keep = pmask
+            for j in range(1, span):
+                keep = keep & ~_lexlt(sh[j:j + P], sl[j:j + P],
+                                      sh[:P], sl[:P])
+            emit = keep
+        else:
+            emit = minimizer_emit(vh, vl, last_pos, pmask)
 
         if not compact_to:
             hi_ref[...] = vh
@@ -306,26 +342,44 @@ def _make_kernel(spec: HashSpec, L: int, compact_to: int = 0):
     return kernel, P
 
 
-def supported(spec: HashSpec, codes_shape: Tuple[int, int]) -> bool:
+def supported(spec: HashSpec, codes_shape: Tuple[int, int],
+              mode: str = "minimizer", m: int = 0, syncmer_s: int = 0) -> bool:
     B, L = codes_shape
-    return (B % _ROWS == 0) and (L - spec.k + 1) >= spec.w
+    P = L - spec.k + 1
+    if B % _ROWS or P < 1:
+        return False
+    if mode == "minimizer":
+        return P >= spec.w
+    if mode == "kmer":
+        return True
+    if mode == "modimizer":
+        mm = m or spec.w
+        return 1 < mm < (1 << 16)
+    if mode == "syncmer":
+        return 0 < syncmer_s < spec.k
+    return False
 
 
 def _sketch_call(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray,
-                 compact_to: int):
+                 compact_to: int, mode: str = "minimizer", m: int = 0,
+                 syncmer_s: int = 0):
     B, L = codes.shape
-    if not supported(spec, (B, L)):
-        raise ValueError(f"kernel needs B % {_ROWS} == 0 and P >= w")
-    kernel, P = _make_kernel(spec, L, compact_to)
+    if not supported(spec, (B, L), mode, m, syncmer_s):
+        raise ValueError(f"kernel does not support mode={mode!r} on {(B, L)}")
+    kernel, P = _make_kernel(spec, L, compact_to, mode=mode, m=m,
+                             syncmer_s=syncmer_s)
     nblk = B // _ROWS
     R = compact_to or P  # output rows
 
     # lanes layout: (L, B//128, 128) u32; block = 8 consecutive 128-lane groups
     ct = codes.astype(jnp.uint32).transpose(1, 0).reshape(L, B // _LANES, _LANES)
-    # short reads (0 < P_i < w) emit nothing in-kernel: give them length 0 here
-    P_i = lengths - spec.k + 1
-    lens = jnp.where((P_i > 0) & (P_i < spec.w), 0, lengths).astype(jnp.int32)
-    lt = lens.reshape(B // _LANES, _LANES)
+    lens = lengths
+    if mode == "minimizer":
+        # short reads (0 < P_i < w) emit nothing in-kernel (the jnp path's
+        # broken-run rule applies; engine routes them there): length 0 here
+        P_i = lengths - spec.k + 1
+        lens = jnp.where((P_i > 0) & (P_i < spec.w), 0, lengths)
+    lt = lens.astype(jnp.int32).reshape(B // _LANES, _LANES)
 
     grid = (nblk,)
     out_shape = [
@@ -404,3 +458,26 @@ def sketch_minimizer_compact(spec: HashSpec, codes: jnp.ndarray,
     multiset equals the uncompacted kernel's emitted set (tests enforce).
     """
     return _sketch_call(spec, codes, lengths, compact_to)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def sketch(spec: HashSpec, codes: jnp.ndarray, lengths: jnp.ndarray,
+           mode: str = "minimizer", m: int = 0, syncmer_s: int = 0,
+           compact_to: int = 0):
+    """Fused sketch for every mode — the kernel mirror of
+    ``core.seqhash_jnp.sketch`` (bit-identical where supported; tests
+    enforce):
+
+    * ``kmer``      — every valid k-mer position emits.
+    * ``minimizer`` — leftmost-minimum w-window (reads with 0 < P_i < w emit
+      nothing here; the engine routes those through the jnp broken-run path).
+    * ``modimizer`` — canonical hash ≡ 0 (mod m), m defaults to w; u32-folded
+      modulus (requires 1 < m < 2^16).
+    * ``syncmer``   — open syncmer: minimal canonical s-mer at offset 0.
+
+    With ``compact_to=C`` the per-read emissions are front-packed in-kernel
+    and a fourth output counts per-read overflow (see
+    :func:`sketch_minimizer_compact`).
+    """
+    return _sketch_call(spec, codes, lengths, compact_to, mode=mode, m=m,
+                        syncmer_s=syncmer_s)

@@ -45,3 +45,22 @@ def test_engine_kernel_compaction_matches_jnp(rng, count_mode):
         outs.append(counts_text(eng, fqb, count_mode))
     assert outs[0] == outs[1] == outs[2]
     assert outs[0].count("\n") > 100
+
+
+@pytest.mark.parametrize("mode,kw", [("kmer", {}),
+                                     ("modimizer", {"modulus": 7}),
+                                     ("syncmer", {"syncmer_s": 11})])
+def test_engine_kernel_modes_match_jnp(rng, mode, kw):
+    """Every sketch mode through the kernel (with compaction where it
+    applies) == the jnp path at the engine count surface."""
+    fqb = make_fqb(rng, n=1024)
+    spec = HashSpec(k=21, w=11, seed=17)
+    outs = []
+    for use_kernel in (False, True):
+        cfg = EngineConfig(spec=spec, mode=mode, count_mode="occurrences",
+                           table_bits=16, batch_reads=1024,
+                           use_kernel=use_kernel, **kw)
+        eng = Engine(cfg, log=None)
+        outs.append(counts_text(eng, fqb, "occurrences"))
+    assert outs[0] == outs[1]
+    assert outs[0].count("\n") > 50

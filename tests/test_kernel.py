@@ -88,3 +88,26 @@ def test_kernel_compaction_overflow_exact(rng):
     codes = np.stack([random_codes(rng, 128) for _ in range(1024)])
     lengths = np.full(1024, 128, np.int32)
     compare_compact(spec, codes, lengths, 8)
+
+
+@pytest.mark.parametrize("mode,kw", [("kmer", {}), ("modimizer", {"m": 7}),
+                                     ("modimizer", {"m": 11}),
+                                     ("syncmer", {"syncmer_s": 11}),
+                                     ("syncmer", {"syncmer_s": 5})])
+def test_kernel_modes_match_jnp(rng, mode, kw):
+    """The mode-dispatching kernel (kmer / modimizer / syncmer) == jnp path,
+    including ragged and short reads (non-minimizer modes emit for any
+    P_i >= 1 — no short-read skip)."""
+    spec = HashSpec(k=21, w=11, seed=17)
+    L = 120
+    codes = np.stack([random_codes(rng, L) for _ in range(1024)])
+    lengths = rng.integers(0, L + 1, size=1024).astype(np.int32)
+    h1, f1, e1 = (np.asarray(x) for x in
+                  MP.sketch(spec, jnp.asarray(codes), jnp.asarray(lengths),
+                            mode=mode, **kw))
+    h2, f2, e2 = (np.asarray(x) for x in
+                  J.sketch(spec, codes, lengths, mode=mode,
+                           m=kw.get("m", 0), syncmer_s=kw.get("syncmer_s", 0)))
+    assert (e1 == e2).all()
+    assert (h1[e1] == h2[e1]).all()
+    assert (f1[e1] == f2[e1]).all()

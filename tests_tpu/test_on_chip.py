@@ -74,6 +74,29 @@ def test_kernel_compaction_mosaic(rng):
         assert (h1[r, len(got):] == U).all(), f"read {r} pads"
 
 
+def test_kernel_modes_mosaic(rng):
+    """kmer/modimizer/syncmer kernels under real Mosaic lowering == jnp
+    (u32-folded modulus and the sub-spec s-mer scan are the new lowering
+    surfaces)."""
+    B, L = 1024, 150
+    codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+    lengths[:3] = [150, 100, 25]
+    for mode, kw in [("kmer", {}), ("modimizer", {"m": 11}),
+                     ("syncmer", {"syncmer_s": 11})]:
+        h1, f1, e1 = (np.asarray(x) for x in
+                      MP.sketch(SPEC, jnp.asarray(codes), jnp.asarray(lengths),
+                                mode=mode, **kw))
+        h2, f2, e2 = (np.asarray(x) for x in
+                      seqhash_jnp.sketch(SPEC, jnp.asarray(codes),
+                                         jnp.asarray(lengths), mode=mode,
+                                         m=kw.get("m", 0),
+                                         syncmer_s=kw.get("syncmer_s", 0)))
+        assert (e1 == e2).all(), mode
+        assert (h1[e1] == h2[e1]).all(), mode
+        assert (f1[e1] == f2[e1]).all(), mode
+
+
 def test_sorted_table_flush_grow_on_chip(rng):
     """flush_grow adopts capacity on device without spilling."""
     keys = rng.integers(0, 1 << 20, size=1 << 16, dtype=np.uint64)
