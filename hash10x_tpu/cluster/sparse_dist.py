@@ -227,7 +227,9 @@ def _make_propagate(mesh: Mesh, n_p: int, n_f: int):
                        check_vma=False)
     def prop(ebuf):
         init = jnp.arange(n_p, dtype=jnp.int32)
-        e = jnp.sort(ebuf[0])                       # ascending = p-major
+        # per-shard edges arrive LSM-compacted: ascending (= p-major) with
+        # U64MAX pads at the end — no sort needed here
+        e = ebuf[0]
         nf_u = jnp.uint64(max(n_f, 1))
         valid = e != _U64MAX
         p_sorted = jnp.where(valid, (e // nf_u).astype(jnp.int32), n_p)
@@ -290,18 +292,37 @@ def cluster_codes_sparse_dist(inc, mesh: Mesh, min_friend_share: int = 8,
              np.zeros(sj.W, np.int64)]).astype(np.int64)), rep)
         fkeys_r = jax.device_put(jnp.asarray(fkeys), rep)
         rounds = _round_windows(sj, n)
-        e_cap = 2 * W * max(len(rounds), 1)
-        ebuf = jax.device_put(jnp.full((n, e_cap), _U64MAX, jnp.uint64), sh)
+        # stream edges through per-shard LSM tables instead of one
+        # 2W x rounds buffer (mostly U64MAX pads at scale): per-device memory
+        # is then ∝ its REAL edge count.  Edges are unique per (p, f), so the
+        # flush's dedup is a no-op compaction; spills are counted and raise.
+        e_cap = _pow2(max(8 * inc.n_pairs // n, 1 << 12))
+        buf_cap = _pow2(max(8 * 2 * W, 1 << 12))
+        ehashes = jax.device_put(jnp.full((n, e_cap), _U64MAX, jnp.uint64), sh)
+        ecounts = jax.device_put(jnp.zeros((n, e_cap), jnp.uint32), sh)
+        ebuf = jax.device_put(jnp.full((n, buf_cap), _U64MAX, jnp.uint64), sh)
+        espill = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
+        eflush = _make_flush(mesh)
         estep = _make_edge_step(mesh, W, inc.n_codes)
         off = 0
         for r in rounds:
+            if off + 2 * W > buf_cap:
+                ehashes, ecounts, ebuf, sp = eflush(ehashes, ecounts, ebuf)
+                espill = espill + sp
+                off = 0
             a = jax.device_put(np.array([x[0] for x in r], np.int64), sh)
             d = jax.device_put(np.array([x[1] for x in r], np.int32), sh)
             ebuf = estep(ebuf, codes_r, seg_r, p_pad, fkeys_r, a, d,
                          jnp.int32(off))
             off += 2 * W
+        if off:
+            ehashes, ecounts, ebuf, sp = eflush(ehashes, ecounts, ebuf)
+            espill = espill + sp
+        if int(np.asarray(jnp.sum(espill))):
+            raise RuntimeError("distributed cluster edge table spilled; "
+                               "raise shard count or edge capacity")
         prop = _make_propagate(mesh, inc.n_pairs, len(fkeys))
-        glob = np.asarray(prop(ebuf)).astype(np.int64)
+        glob = np.asarray(prop(ehashes)).astype(np.int64)
         code_of_p = np.repeat(np.arange(inc.n_codes, dtype=np.int64),
                               np.diff(inc.code_offsets))
         labels = (glob - inc.code_offsets[code_of_p]).astype(np.int32)
