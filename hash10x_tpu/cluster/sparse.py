@@ -199,14 +199,21 @@ def cooccurrence_counts(inc: Incidence, chunk: int = _CHUNK,
     k1, s1 = _sweep_into_table(gen())
     if len(k1) == 0:
         return k1, s1
-    # mirror c1 < c2 keys to both orders (shares are symmetric)
-    c1 = (k1 // np.uint64(inc.n_codes)).astype(np.uint64)
-    c2 = (k1 % np.uint64(inc.n_codes)).astype(np.uint64)
-    k2 = c2 * np.uint64(inc.n_codes) + c1
-    keys = np.concatenate([k1, k2])
-    shares = np.concatenate([s1, s1])
-    o = np.argsort(keys, kind="stable")
-    return keys[o], shares[o]
+    return _mirror_sort(k1, s1, inc.n_codes)
+
+
+def _mirror_sort(k1, s1, n_codes: int):
+    """Mirror c1 < c2 co-occurrence keys to both orders (shares are
+    symmetric) and sort — on device (a host argsort of 2x the pair volume was
+    the residual host cost of this phase at scale)."""
+    k1d = jnp.asarray(k1)
+    s1d = jnp.asarray(s1)
+    nc = jnp.uint64(n_codes)
+    k2 = (k1d % nc) * nc + (k1d // nc)
+    keys, shares = jax.lax.sort(
+        (jnp.concatenate([k1d, k2]), jnp.concatenate([s1d, s1d])),
+        dimension=0, num_keys=1)
+    return np.asarray(keys), np.asarray(shares)
 
 
 def friend_pairs(pair_keys: np.ndarray, shares: np.ndarray,

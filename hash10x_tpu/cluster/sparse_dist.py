@@ -182,16 +182,9 @@ def cooccurrence_counts_dist(inc, mesh: Mesh, chunk: int = 1 << 20,
     c = np.asarray(counts).reshape(-1)
     keep = h != U64MAX
     h, c = h[keep], c[keep]
-    o = np.argsort(h, kind="stable")
-    k1, s1 = h[o], c[o]
-    # mirror to both orders (keys were emitted c1 < c2 only)
-    c1 = (k1 // np.uint64(inc.n_codes)).astype(np.uint64)
-    c2 = (k1 % np.uint64(inc.n_codes)).astype(np.uint64)
-    k2 = c2 * np.uint64(inc.n_codes) + c1
-    keys = np.concatenate([k1, k2])
-    shares = np.concatenate([s1, s1])
-    o = np.argsort(keys, kind="stable")
-    return keys[o], shares[o]
+    # mirror to both orders (keys were emitted c1 < c2 only) + device sort
+    from .sparse import _mirror_sort
+    return _mirror_sort(h, c, inc.n_codes)
 
 
 def _make_edge_step(mesh: Mesh, W: int, n_codes: int):
