@@ -304,20 +304,38 @@ def _local_indices(inc: Incidence) -> np.ndarray:
             - inc.code_offsets[code_of_p]).astype(np.int32)
 
 
+@jax.jit
+def _dense_rank_delta(combined, base):
+    """dense_rank(combined) - dense_rank(base) over the distinct values of
+    ``combined`` — the device form of np.unique + two searchsorteds (host
+    unique over the pair volume was the residual cost at 1M+ barcodes).
+    method="sort": binary-search gathers lower poorly on TPU."""
+    s = jnp.sort(combined)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    dense_of_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
+    q = jnp.concatenate([combined, base])
+    idx = jnp.searchsorted(s, q, method="sort")
+    idx = jnp.minimum(idx, s.shape[0] - 1)
+    d = dense_of_sorted[idx]
+    n = combined.shape[0]
+    return (d[:n] - d[n:]).astype(jnp.int32)
+
+
 def canonical_ranks(inc: Incidence, labels: np.ndarray) -> np.ndarray:
     """Dense-rank labels per barcode into canonical cluster ids (first-
     appearing k-mer numbering: a component's label IS its min local index, so
-    ascending label order == first-appearance order).  Fully vectorized."""
+    ascending label order == first-appearance order).  Ranking runs on
+    device (sort + boundary cumsum + sort-join)."""
     if inc.n_pairs == 0:
         return np.zeros(0, np.int32)
     code_of_p = np.repeat(
         np.arange(inc.n_codes, dtype=np.int64), np.diff(inc.code_offsets))
     K = int(np.diff(inc.code_offsets).max(initial=0)) + 1
     combined = code_of_p * np.int64(K) + labels.astype(np.int64)
-    uniq = np.unique(combined)
-    rank = np.searchsorted(uniq, combined)
-    code_start = np.searchsorted(uniq, code_of_p * np.int64(K))
-    return (rank - code_start).astype(np.int32)
+    # base = each element's code block start; every code with pairs has at
+    # least one combined value >= code*K, so the delta is the in-code rank
+    return np.asarray(_dense_rank_delta(jnp.asarray(combined),
+                                        jnp.asarray(code_of_p * np.int64(K))))
 
 
 def cluster_codes_sparse(inc: Incidence, min_friend_share: int = 8,
