@@ -47,6 +47,37 @@ def test_engine_kernel_compaction_matches_jnp(rng, count_mode):
     assert outs[0].count("\n") > 100
 
 
+def test_engine_compaction_overflow_raises(rng, monkeypatch):
+    """A too-small compaction width must surface as an exact overflow error
+    at lane end — never silent truncation."""
+    fqb = make_fqb(rng)
+    cfg = EngineConfig(spec=HashSpec(k=21, w=11, seed=17),
+                       count_mode="occurrences", table_bits=16,
+                       batch_reads=1024)
+    eng = Engine(cfg, log=None)
+    monkeypatch.setattr(Engine, "_compact_rows", lambda self, P: 8)
+    with pytest.raises(RuntimeError, match="overflow"):
+        eng.count(fqb)
+
+
+@pytest.mark.parametrize("n_mesh", [2, 8])
+def test_engine_sharded_syncmer_matches_single(rng, n_mesh):
+    """--syncmer with --shards (the kernel's syncmer path + jnp fallback on
+    the sharded step) == single-device counts."""
+    import jax
+    if len(jax.devices()) < n_mesh:
+        pytest.skip("needs virtual devices")
+    fqb = make_fqb(rng, n=512)
+    outs = []
+    for n in (1, n_mesh):
+        cfg = EngineConfig(spec=HashSpec(k=21, w=11, seed=17), mode="syncmer",
+                           syncmer_s=11, count_mode="occurrences",
+                           table_bits=16, batch_reads=512, n_shards=n)
+        eng = Engine(cfg, log=None)
+        outs.append(counts_text(eng, fqb, "occurrences"))
+    assert outs[0] == outs[1]
+
+
 @pytest.mark.parametrize("mode,kw", [("kmer", {}),
                                      ("modimizer", {"modulus": 7}),
                                      ("syncmer", {"syncmer_s": 11})])
