@@ -878,13 +878,74 @@ class Engine:
         self.retained_hashes, self.retained_counts = st.compact(self._flushed(), lo, hi)
         self.timer.stage(f"filter [{lo},{hi}]: {len(self.retained_hashes)} kmers kept")
 
+    def _fused_pair_step(self, with_nmask: bool, use_kernel: bool,
+                         pad_n: int):
+        """One jit for the whole per-batch incidence pipeline: unpack, sketch,
+        retained-rank lookup, pair-key dedup, and append-buffer write — a
+        single dispatch per batch (the op-by-op path paid 4 dispatches per
+        batch through the relay/PCIe).  The retained set arrives as a
+        U64MAX-padded power-of-two argument so retained sizes bucket into few
+        compiles."""
+        cfg = self.cfg
+        key = ("pair_step", with_nmask, use_kernel, pad_n, cfg.batch_reads,
+               self._read_len, cfg.mode, cfg.modulus, cfg.syncmer_s,
+               cfg.kernel_compact)
+        fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        from .core.encode import unpack_2bit_jnp
+        spec = cfg.spec
+        bsz = cfg.batch_reads
+        read_len = self._read_len
+        C = self._compact_rows(read_len - spec.k + 1) if use_kernel else 0
+        P_true = read_len - spec.k + 1
+        slots = self._dedup_slots(bsz, P_true, bsz * (C or P_true))
+
+        def core(buf, bufw, retained, nk_u, pk, ln, bc, nm, buf_n, over):
+            codes = unpack_2bit_jnp(pk, read_len, nm)
+            if use_kernel and C:
+                h, _, emit, ov = minimizer_pallas.sketch(
+                    spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
+                    syncmer_s=cfg.syncmer_s, compact_to=C)
+                over = over + jnp.sum(ov).astype(jnp.uint32)
+            elif use_kernel:
+                h, _, emit = minimizer_pallas.sketch(
+                    spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
+                    syncmer_s=cfg.syncmer_s)
+            else:
+                h, _, emit = seqhash_jnp.sketch(spec, codes, ln, mode=cfg.mode,
+                                                m=cfg.modulus,
+                                                syncmer_s=cfg.syncmer_s)
+            P = h.shape[1]
+            keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
+            flat_h = keyed.reshape(-1)
+            flat_bc = jnp.broadcast_to(bc[:, None], (bsz, P)).reshape(-1)
+            raw = pair_keys_jit(retained, flat_h, flat_bc, nk_u)
+            keys, _, o = st.dedup_weighted(raw, slots)
+            buf, bufw = st._buf_write.__wrapped__(buf, bufw, keys, buf_n)
+            return buf, bufw, over + o
+
+        if with_nmask:
+            def body(buf, bufw, retained, nk_u, pk, ln, bc, nm, buf_n, over):
+                return core(buf, bufw, retained, nk_u, pk, ln, bc, nm,
+                            buf_n, over)
+        else:
+            def body(buf, bufw, retained, nk_u, pk, ln, bc, buf_n, over):
+                return core(buf, bufw, retained, nk_u, pk, ln, bc, None,
+                            buf_n, over)
+
+        fn = jax.jit(body, donate_argnums=(0, 1))
+        fn.n_appended = slots
+        self._step_cache[key] = fn
+        return fn
+
     def incidence(self, fqb: Fqb, local_shard: bool = False) -> None:
         """Second pass: build the deduplicated k-mer x barcode incidence.
 
-        Device-resident end to end: per batch, hashes map to retained-set ranks
-        and fuse with barcodes into u64 pair keys (``pair_keys_jit``); keys
-        dedup through the same LSM sorted-run machinery as the count pass; CSR
-        assembly is vectorized searchsorted on device
+        Device-resident end to end, one fused jit dispatch per batch: unpack,
+        sketch, retained-rank lookup into u64 pair keys, dedup, and append —
+        keys then dedup through the same LSM sorted-run machinery as the count
+        pass, and CSR assembly is vectorized searchsorted on device
         (``incidence_from_sorted_pairs``).  With ``n_shards > 1`` the pass
         distributes over the mesh (``_incidence_sharded``)."""
         if self.retained_hashes is None:
@@ -897,20 +958,21 @@ class Engine:
         self._read_len = fqb.read_len
         self._cap_overflow = jnp.zeros((), jnp.uint32)
         n_kmers = len(self.retained_hashes)
-        retained_d = jnp.asarray(self.retained_hashes)
+        pad_n = 1 << max(int(n_kmers - 1).bit_length(), 10) if n_kmers else 1024
+        padded = np.full(pad_n, U64MAX, np.uint64)
+        padded[:n_kmers] = self.retained_hashes
+        retained_d = jax.device_put(padded)
         nk_u = jnp.uint64(max(n_kmers, 1))
         pt = None
         bsz = self.cfg.batch_reads
         # group tags are irrelevant here: the pair table dedups globally
         for packed, nmask, lengths, bcs, meta in self._batches(fqb):
-            flat_h, flat_bc = self._sketch_flat(packed, nmask, lengths, bcs,
-                                                has_short=meta[2])
-            raw = pair_keys_jit(retained_d, flat_h, flat_bc, nk_u)
-            P_true = fqb.read_len - self.cfg.spec.k + 1
-            slots = self._dedup_slots(bsz, P_true, flat_h.shape[0])
-            keys, _, over = st.dedup_weighted(raw, slots)
-            self._cap_overflow = self._cap_overflow + over
-            n = int(keys.shape[0])
+            gid, n_valid, has_short = meta
+            step = self._fused_pair_step(
+                nmask is not None,
+                self._kernel_ok((bsz, self._read_len), has_short,
+                                nmask is not None), pad_n)
+            n = step.n_appended
             if pt is None:
                 cap = max(1 << self.cfg.table_bits,
                           1 << (2 * n - 1).bit_length())
@@ -918,7 +980,14 @@ class Engine:
                 pt = st.make_sorted_table(cap, max(cap, 8 * n))
             if pt.buf_n + n > pt.buf.shape[0]:
                 pt = st.flush_grow(pt)
-            pt = st.append(pt, keys)
+            args = (pt.buf, pt.bufw, retained_d, nk_u, packed, lengths, bcs)
+            if nmask is not None:
+                args = args + (nmask,)
+            buf, bufw, over = step(*args, jnp.int32(pt.buf_n),
+                                   self._cap_overflow)
+            pt = st.SortedTable(pt.hashes, pt.counts, buf, bufw,
+                                pt.buf_n + n, pt.spilled)
+            self._cap_overflow = over
         if int(np.asarray(self._cap_overflow)):
             raise RuntimeError(
                 "incidence batch pre-reduction overflowed its distinct-key "
