@@ -1127,11 +1127,12 @@ class Engine:
             self.split_origin = np.zeros((0, 2), np.int32)
             self.timer.stage("split: 0 molecule codes")
             return
+        from .utils.dense import device_dense_ranks, device_unique
         code_of_p = self._code_of_pair()
         K = int(flat.max()) + 1
         combined = code_of_p * K + flat
-        uniq = np.unique(combined)
-        new_code = np.searchsorted(uniq, combined).astype(np.int32)
+        uniq = device_unique(combined)
+        new_code = device_dense_ranks(combined).astype(np.int32)
         self.split_inc = build_incidence(
             inc.code_kmers.astype(np.int32), new_code,
             n_kmers=inc.n_kmers, n_codes=len(uniq))
@@ -1174,7 +1175,8 @@ class Engine:
             code_of_p = self._code_of_pair()
             K = int(flat.max()) + 1
             combined = code_of_p * K + flat
-            uniq, cluster_sizes = np.unique(combined, return_counts=True)
+            from .utils.dense import device_unique
+            uniq, cluster_sizes = device_unique(combined, return_counts=True)
             cl_code = uniq // K
             n_clusters = np.bincount(cl_code, minlength=inc.n_codes)
         else:
