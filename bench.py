@@ -173,6 +173,13 @@ def bench_barcodes():
         t0 = time.monotonic()
         eng.cluster()
         walls["cluster_s"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        eng.split()
+        walls["split_s"] = round(time.monotonic() - t0, 3)
+        import io
+        t0 = time.monotonic()
+        eng.report(io.StringIO())
+        walls["report_s"] = round(time.monotonic() - t0, 3)
         return walls
 
     run()  # warm
