@@ -244,8 +244,8 @@ class Engine:
         if not (rls == rls[0]).all():
             raise ValueError(f"shard files disagree on read_len: {rls.tolist()}")
 
-        # global dense barcode ids = local ids + this process's offset;
-        # disjointness of the shard files' barcode keys is verified globally
+        # allgather every shard's barcode keys: verifies the files are
+        # barcode-disjoint and provides the global key-rank id mapping below
         counts = np.asarray(mu.process_allgather(
             np.array([fqb.n_barcodes], np.int64), tiled=False)).reshape(-1)
         self._global_n_barcodes = int(counts.sum())
