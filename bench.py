@@ -237,7 +237,7 @@ def shards_curve_child():
     out = []
     for s in (1, 2, 4, 8):
         cfg = EngineConfig(spec=HashSpec(k=K, w=W, seed=SEED),
-                           count_mode="occurrences", table_bits=18,
+                           count_mode="occurrences", table_bits=20,
                            batch_reads=2048, n_shards=s)
 
         def run():
@@ -251,7 +251,34 @@ def shards_curve_child():
         best, n_kmers = min(run() for _ in range(2))
         out.append({"n_shards": s, "reads_per_s": round(n / best, 1),
                     "wall_s": round(best, 3), "n_kmers": n_kmers})
-    print(json.dumps(out))
+
+    # cluster-phase scaling shape on the same virtual mesh (small molecule-
+    # structured incidence; the distributed path must stay label-identical)
+    from hash10x_tpu.table.incidence import build_incidence
+    from hash10x_tpu.cluster import sparse as SP
+    from hash10x_tpu.cluster import sparse_dist as SD
+    from hash10x_tpu.dist import sharded as D
+    rng = np.random.default_rng(5)
+    n_codes, n_kmers_c, per_code = 4096, 65536, 24
+    spans = rng.integers(0, n_kmers_c - 64, size=(n_codes, 2))
+    ks, cs = [], []
+    for j in range(2):
+        offs = rng.integers(0, 64, size=(n_codes, per_code // 2))
+        ks.append((spans[:, j:j + 1] + offs).reshape(-1))
+        cs.append(np.repeat(np.arange(n_codes), per_code // 2))
+    inc = build_incidence(np.concatenate(ks).astype(np.int32),
+                          np.concatenate(cs).astype(np.int32),
+                          n_kmers=n_kmers_c, n_codes=n_codes)
+    want = SP.cluster_codes_sparse(inc, min_friend_share=4, flat=True)
+    cl = []
+    for s in (2, 8):
+        t0 = time.monotonic()
+        got = SD.cluster_codes_sparse_dist(inc, D.make_mesh(s),
+                                           min_friend_share=4, flat=True)
+        assert (got == want).all(), f"dist({s}) labels diverged"
+        cl.append({"n_shards": s, "wall_s": round(time.monotonic() - t0, 3)})
+    print(json.dumps({"count_curve": out, "cluster_curve": cl,
+                      "cluster_pairs": inc.n_pairs}))
 
 
 def bench_shards_curve():

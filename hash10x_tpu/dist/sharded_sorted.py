@@ -3,13 +3,14 @@
 Same mesh design as ``sharded.py`` (DP read shards, one all_to_all of
 owner-routed emissions, psum merges — SURVEY.md §3.2), but each shard's table
 is the sort-centric ``table/sorted_table.py`` design that measures ~15x faster
-than open-addressing probing on this hardware, and hashes route by the TOP
-bits of their 2k-bit value range: shard s owns a contiguous ascending key
-range, so the per-shard sorted tables concatenate into the globally sorted
-table with no re-sort, and canonical global k-mer ids are shard-local ranks
-plus a shard offset — no host-side global sort at any scale (distributed
-canonical ids).  Received lanes are appended to a per-shard buffer; flushes
-run shard-parallel under the same mesh.
+than open-addressing probing on this hardware, and hashes route by
+contiguous VALUE ranges of their 2k-bit space (``range_splitters``: equal
+ranges for uniform emissions, CDF-inverted for minimizer minima): shard s
+owns an ascending key range, so the per-shard sorted tables concatenate into
+the globally sorted table with no re-sort, and canonical global k-mer ids
+are shard-local ranks plus a shard offset — no host-side global sort at any
+scale (distributed canonical ids).  Received lanes are appended to a
+per-shard buffer; flushes run shard-parallel under the same mesh.
 
 Also provides the sharded-table snapshot/restore of SURVEY.md §6
 (checkpoint/resume row): per-shard (hash, count) arrays + a json manifest
@@ -35,27 +36,54 @@ from ..kernels import minimizer_pallas
 from ..table import sorted_table as st
 
 __all__ = ["ShardedSortedTable", "make_sorted_count_step", "sorted_histogram",
-           "gather_sorted_compact", "save_snapshot", "load_snapshot"]
+           "gather_sorted_compact", "save_snapshot", "load_snapshot",
+           "range_splitters", "emit_dist_eff"]
 
 _U64MAX = jnp.uint64(U64MAX)
+
+
+def range_splitters(spec: HashSpec, n: int, eff: int = 1) -> np.ndarray:
+    """n-1 ascending u64 splitters partitioning the 2k-bit hash value range
+    into n contiguous shard ranges of ~equal EMITTED mass.
+
+    eff = 1: emitted hashes are uniform over the range (kmer / modimizer /
+    syncmer modes — the mix is pseudorandom and those samplers don't select
+    on the k-mer hash value).  eff = w+1 (minimizer mode): emitted hashes are
+    window MINIMA, CDF(v) ~= 1 - (1 - v/M)^(w+1), so equal-bit ranges would
+    send ~88% of keys to shard 0 (measured); inverting the CDF at s/n gives
+    splitters within ~1.25x of ideal balance on real lanes — deterministic,
+    input-independent, snapshot-portable."""
+    M = 1 << (64 - spec.shift1)
+    if eff <= 1:
+        return np.array([(M * s) // n for s in range(1, n)], np.uint64)
+    return np.array([int(M * (1.0 - (1.0 - s / n) ** (1.0 / eff)))
+                     for s in range(1, n)], np.uint64)
+
+
+def emit_dist_eff(spec: HashSpec, mode: str) -> int:
+    """The emitted-hash distribution exponent for range_splitters."""
+    return spec.w + 1 if (mode == "minimizer" and spec.w > 1) else 1
 
 
 class ShardedSortedTable:
     """Per-shard sorted tables as (n, C)/(n, Bc) device-sharded arrays.
 
-    routing="top" (default): shard = top ``shard_bits`` of the hash's 2k-bit
-    value range — shard s owns a contiguous ascending key range, so the
-    per-shard sorted tables concatenate into the GLOBALLY sorted table with no
-    re-sort, and a key's canonical global rank is shard_offset[s] + local
-    rank (the distributed-canonical-ids property; the mixed hash's top bits
-    are uniform).  routing="low": shard = key & (n-1) — for key spaces whose
-    top bits are not uniform (incidence pair keys are code-major)."""
+    routing="range" (default): shard s owns the contiguous ascending key
+    range [splitter_{s-1}, splitter_s) (splitters from ``range_splitters``),
+    so the per-shard sorted tables concatenate into the GLOBALLY sorted table
+    with no re-sort, and a key's canonical global rank is shard_offset[s] +
+    local rank (the distributed-canonical-ids property).  routing="low":
+    shard = key & (n-1) — for key spaces with no usable range structure
+    (incidence pair keys are code-major)."""
 
     def __init__(self, mesh: Mesh, capacity: int, buf_capacity: int,
-                 spec: Optional[HashSpec] = None, routing: str = "top"):
+                 spec: Optional[HashSpec] = None, routing: str = "range",
+                 range_eff: Optional[int] = None):
         self.mesh = mesh
         self.spec = spec
         self.routing = routing
+        # None = adopt the first count step's emitted-distribution exponent
+        self.range_eff = range_eff
         self.n_shards = mesh.devices.size
         self.shard_bits = int(self.n_shards - 1).bit_length()
         if (1 << self.shard_bits) != self.n_shards:
@@ -130,22 +158,23 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     goal; weights are discarded).
     """
     n = mesh.devices.size
-    shard_bits = int(n - 1).bit_length()
     # hash values span 2k bits (hashspec: (x*factor1 mod 2^64) >> (64-2k));
-    # route by their TOP bits so shard s owns a contiguous ascending range —
-    # gather is then a concat and global ranks are shard-local ranks plus an
-    # offset (distributed canonical ids).  Pair keys (code-major top bits)
-    # route by LOW bits instead.
-    hash_bits = 64 - spec.shift1
-    assert shard_bits <= hash_bits
-    routing = "low" if pair_retained is not None else "top"
-    top_shift = jnp.uint64(hash_bits - shard_bits)
+    # route by contiguous VALUE ranges (splitters matched to the emitted-hash
+    # distribution) so shard s owns an ascending range — gather is then a
+    # concat and global ranks are shard-local ranks plus an offset
+    # (distributed canonical ids).  Pair keys (code-major, no usable range
+    # structure) route by LOW bits instead.
+    routing = "low" if pair_retained is not None else "range"
+    range_eff = emit_dist_eff(spec, mode)
+    splitters_d = jnp.asarray(range_splitters(spec, n, range_eff))
     shard_mask = jnp.uint64(n - 1)
 
     def dest_of(keys):
         valid = keys != _U64MAX
-        if routing == "top":
-            return jnp.where(valid, (keys >> top_shift).astype(jnp.int32), n)
+        if routing == "range":
+            d = jnp.searchsorted(splitters_d, keys, side="right"
+                                 ).astype(jnp.int32)
+            return jnp.where(valid, d, n)
         return jnp.where(valid, (keys & shard_mask).astype(jnp.int32), n)
 
     flush_fn = _make_flush(mesh)
@@ -285,6 +314,12 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         if t.routing != routing:
             raise ValueError(f"table routing {t.routing!r} != step routing "
                              f"{routing!r}")
+        if routing == "range":
+            if t.range_eff is None:
+                t.range_eff = range_eff
+            elif t.range_eff != range_eff:
+                raise ValueError(f"table range_eff {t.range_eff} != step "
+                                 f"range_eff {range_eff}")
         L = packed_read_len or codes.shape[1]
         width = recv_width(codes.shape[0], L)
         if t.buf_n + width > t.buf_capacity:
@@ -348,11 +383,11 @@ def gather_sorted_compact(t: ShardedSortedTable, min_count: int = 0,
                           max_count: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Host-gathered global (hash, count), ascending — canonical global ids.
 
-    With routing="top" the shards own contiguous ascending key ranges, so the
-    gather is a pad-stripping CONCAT — no global re-sort; a key's canonical
-    global rank is its shard's offset plus its local rank (the distributed-
-    canonical-ids property the pod-scale path relies on).  routing="low"
-    shards interleave and need the sort.
+    With routing="range" the shards own contiguous ascending key ranges, so
+    the gather is a pad-stripping CONCAT — no global re-sort; a key's
+    canonical global rank is its shard's offset plus its local rank (the
+    distributed-canonical-ids property the pod-scale path relies on).
+    routing="low" shards interleave and need the sort.
 
     Multi-process: shards on other hosts are not addressable, so replicate
     first (jit identity with a replicated out-sharding inserts the
@@ -370,7 +405,7 @@ def gather_sorted_compact(t: ShardedSortedTable, min_count: int = 0,
     if max_count:
         keep &= c <= max_count
     h, c = h[keep], c[keep]
-    if t.routing != "top":
+    if t.routing != "range":
         order = np.argsort(h, kind="stable")
         h, c = h[order], c[order]
     return h, c
@@ -387,6 +422,7 @@ def save_snapshot(t: ShardedSortedTable, path: str) -> None:
         "shard_bits": t.shard_bits,
         "capacity": t.capacity,
         "routing": t.routing,
+        "range_eff": t.range_eff or 1,
         "spec": json.loads(t.spec.to_json()) if t.spec else None,
     }
     hashes = np.asarray(t.hashes)
@@ -421,16 +457,17 @@ def load_snapshot(path: str, mesh: Mesh, capacity: int = 0,
     n = mesh.devices.size
     cap = capacity or manifest["capacity"]
     routing = manifest.get("routing", "low")  # v1 snapshots routed by low bits
+    range_eff = int(manifest.get("range_eff", 1))
     t = ShardedSortedTable(mesh, cap, buf_capacity or cap, spec=spec,
-                           routing=routing)
+                           routing=routing, range_eff=range_eff)
     # re-route under the new mesh size; merge shard-parallel
     per_shard_h = np.full((n, cap), U64MAX, np.uint64)
     per_shard_c = np.zeros((n, cap), np.uint32)
-    if routing == "top":
+    if routing == "range":
         if spec is None:
-            raise ValueError("top-bit-routed snapshot requires a spec")
-        hash_bits = 64 - spec.shift1
-        dest = (all_h >> (hash_bits - int(n - 1).bit_length())).astype(np.int64)
+            raise ValueError("range-routed snapshot requires a spec")
+        dest = np.searchsorted(range_splitters(spec, n, range_eff), all_h,
+                               side="right").astype(np.int64)
     else:
         dest = (all_h & (n - 1)).astype(np.int64)
     for s in range(n):

@@ -165,12 +165,12 @@ def test_snapshot_restore_mesh_portable(tmp_path):
                           expect_spec=spec)
     gh2, gc2 = DS.gather_sorted_compact(t2)
     assert (gh == gh2).all() and (gc == gc2).all()
-    # shard ownership under the new mesh: top bit of the 2k-bit hash range
+    # shard ownership under the new mesh: contiguous ascending value ranges
     keys = np.asarray(t2.hashes)
-    hash_bits = 64 - spec.shift1
+    split = DS.range_splitters(spec, 2, t2.range_eff)
     for s in range(2):
         k = keys[s][keys[s] != U64MAX]
-        assert (k >> (hash_bits - 1) == s).all()
+        assert (np.searchsorted(split, k, side="right") == s).all()
         assert (np.diff(k.astype(np.int64)) > 0).all()  # shard-local ascending
     # spec mismatch rejected
     with pytest.raises(ValueError):
