@@ -414,7 +414,17 @@ def gather_sorted_compact(t: ShardedSortedTable, min_count: int = 0,
 # -- sharded snapshot / restore (SURVEY.md §6 checkpoint row) --------------------
 
 def save_snapshot(t: ShardedSortedTable, path: str) -> None:
-    """Per-shard (hash, count) files + manifest; the .hash-file analog."""
+    """Per-shard (hash, count) files + manifest; the .hash-file analog.
+
+    Multi-process: shards on other hosts are replicated first, and only
+    process 0 writes (shared storage assumed, as for every report file)."""
+    hashes, counts = t.hashes, t.counts
+    if not hashes.is_fully_addressable:
+        rep = NamedSharding(t.mesh, P())
+        hashes, counts = jax.jit(lambda a, b: (a, b),
+                                 out_shardings=(rep, rep))(hashes, counts)
+        if jax.process_index() != 0:
+            return
     os.makedirs(path, exist_ok=True)
     manifest = {
         "version": 2,
@@ -425,8 +435,8 @@ def save_snapshot(t: ShardedSortedTable, path: str) -> None:
         "range_eff": t.range_eff or 1,
         "spec": json.loads(t.spec.to_json()) if t.spec else None,
     }
-    hashes = np.asarray(t.hashes)
-    counts = np.asarray(t.counts)
+    hashes = np.asarray(hashes)
+    counts = np.asarray(counts)
     for s in range(t.n_shards):
         keep = hashes[s] != U64MAX
         np.savez(os.path.join(path, f"shard_{s:05d}.npz"),
