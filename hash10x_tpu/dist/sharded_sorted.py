@@ -241,18 +241,37 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         E = flat_h.shape[0]
         cap = lane_cap(E)
         dest = dest_of(flat_h)
-        order = jnp.argsort(dest, stable=True)
-        hs, ds, bs = flat_h[order], dest[order], flat_bc[order]
-        pos = jnp.arange(E, dtype=jnp.int32) - jnp.searchsorted(
-            ds, ds, side="left").astype(jnp.int32)
-        lane_ok = (ds < n) & (pos < cap)
-        row = jnp.where(lane_ok, ds, n)
-        send = jnp.full((n, cap), _U64MAX, jnp.uint64)
-        send = send.at[row, pos].set(hs, mode="drop")
-        n_dropped = jnp.sum((ds < n) & ~lane_ok).astype(jnp.uint32) + cap_over
+        # dest-sort carrying payloads (argsort + gathers and the lane scatter
+        # both lower as sort-based emulation on TPU — one multi-operand
+        # lax.sort + static slices replaces all of it; same discipline as
+        # cluster/sparse_dist._make_pair_route_step)
         if count_mode == "barcodes":
-            send_bc = jnp.full((n, cap), -1, jnp.int32)
-            send_bc = send_bc.at[row, pos].set(bs, mode="drop")
+            ds, hs, bs = jax.lax.sort(
+                (dest, flat_h, flat_bc.astype(jnp.int32)),
+                dimension=0, num_keys=1)
+        else:
+            ds, hs = jax.lax.sort((dest, flat_h), dimension=0, num_keys=1)
+        # contiguous per-shard segments -> (n, cap) send lanes by static
+        # slices; pad so dynamic_slice never clamps the start
+        starts = jnp.searchsorted(ds, jnp.arange(n + 1, dtype=jnp.int32)
+                                  ).astype(jnp.int32)
+        hs_pad = jnp.concatenate([hs, jnp.full((cap,), _U64MAX, jnp.uint64)])
+        if count_mode == "barcodes":
+            bs_pad = jnp.concatenate([bs, jnp.full((cap,), -1, jnp.int32)])
+        lane_idx = jnp.arange(cap, dtype=jnp.int32)
+        lanes, lanes_bc = [], []
+        n_dropped = cap_over
+        for r in range(n):
+            seg_len = starts[r + 1] - starts[r]
+            lane = jax.lax.dynamic_slice(hs_pad, (starts[r],), (cap,))
+            lanes.append(jnp.where(lane_idx < seg_len, lane, _U64MAX))
+            if count_mode == "barcodes":
+                lb = jax.lax.dynamic_slice(bs_pad, (starts[r],), (cap,))
+                lanes_bc.append(jnp.where(lane_idx < seg_len, lb, -1))
+            n_dropped += jnp.maximum(seg_len - cap, 0).astype(jnp.uint32)
+        send = jnp.stack(lanes)
+        if count_mode == "barcodes":
+            send_bc = jnp.stack(lanes_bc)
         if n > 1:
             recv = jax.lax.all_to_all(send, "d", split_axis=0, concat_axis=0,
                                       tiled=True)
