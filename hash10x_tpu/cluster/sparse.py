@@ -225,14 +225,15 @@ def friend_pairs(pair_keys: np.ndarray, shares: np.ndarray,
 def _forward_positions(inc: Incidence) -> np.ndarray:
     """inv2fwd[i]: forward-CSR position of the (code, kmer) pair at inverted-
     CSR position i.  Forward CSR is (code-major, kmer ascending); inverted is
-    (kmer-major, code ascending) — a stable two-key argsort maps them."""
+    (kmer-major, code ascending) — the rank of the combined (code, kmer) key
+    maps them.  Keys are all distinct, so the device dense-rank IS the rank
+    (the host double-argsort was O(pairs log pairs) host time at scale)."""
+    from ..utils.dense import device_dense_ranks
     kmer_of_i = np.repeat(np.arange(inc.n_kmers, dtype=np.int64),
                           np.diff(inc.kmer_offsets))
     code_of_i = inc.kmer_codes.astype(np.int64)
-    # rank of (code, kmer) among all pairs in forward order
     fwd_key = code_of_i * np.int64(inc.n_kmers) + kmer_of_i
-    return np.argsort(np.argsort(fwd_key, kind="stable"),
-                      kind="stable").astype(np.int64)
+    return device_dense_ranks(fwd_key).astype(np.int64)
 
 
 def propagate_labels(inc: Incidence, p_edges, f_edges, n_f: int) -> np.ndarray:
