@@ -360,23 +360,45 @@ def cluster_codes_sparse(inc: Incidence, min_friend_share: int = 8,
         n_f_u = jnp.uint64(len(fkeys))
 
         # edges need no merging (each (p, f) arises once), so accumulate the
-        # window outputs device-side and sort ONCE — routing them through the
-        # LSM table re-sorted the whole table per flush (measured ~100s at
-        # 50k codes vs seconds here)
-        parts = []
+        # window outputs device-side and sort in few large rounds — routing
+        # them through the LSM table re-sorted the whole table per flush
+        # (measured ~100s at 50k codes vs seconds here).  A memory budget
+        # bounds the accumulated slots: window outputs are mostly U64MAX
+        # (few window pairs are friend edges), so draining sort+trims rarely
+        # and keeps peak device memory ∝ budget + real edges
+        budget = _CHUNK * 8  # slots (u64) held before a drain
+        parts, held, drained = [], 0, []
+
+        def drain():
+            nonlocal parts, held
+            if not parts:
+                return
+            s = jnp.sort(jnp.concatenate(drained + parts))
+            n_real = int(jnp.searchsorted(s, _U64MAX))  # one sync per drain
+            drained[:] = [s[:max(n_real, 1)]]
+            parts, held = [], 0
+
         for d in range(1, sj.D):
             for a, w in sj.windows(d):
+                if held + 2 * w > budget:
+                    drain()
                 e1, e2 = _win_edges(sj.codes_d, sj.seg_d, p_pad,
                                     jnp.int64(a), jnp.int32(d), fkeys_d,
                                     n_codes_u, n_f_u, w)
                 parts.append(e1)
                 parts.append(e2)
-        all_e = jnp.sort(jnp.concatenate(parts))
+                held += 2 * w
+        drain()
+        all_e = drained[0]
         n_real = int(jnp.searchsorted(all_e, _U64MAX))
         # pad the edge count to a power of two so downstream jits see few
         # distinct shapes; pad edges map to sentinel segments (p=n_p, f=n_f)
         # which segment_min drops
-        n_pad = min(_pow2(max(n_real, 1)), all_e.shape[0])
+        n_pad = _pow2(max(n_real, 1))
+        if n_pad > all_e.shape[0]:
+            all_e = jnp.concatenate(
+                [all_e, jnp.full((n_pad - all_e.shape[0],), _U64MAX,
+                                 jnp.uint64)])
         ekeys_d = all_e[:n_pad]
         valid = ekeys_d != _U64MAX
         p_e = jnp.where(valid, (ekeys_d // n_f_u).astype(jnp.int64),
