@@ -721,7 +721,9 @@ class Engine:
         if int(np.asarray(self._cap_overflow)):
             raise RuntimeError(
                 f"batch pre-reduction overflowed its {self.cfg.emission_cap_factor}x "
-                "distinct-key headroom; raise emission_cap_factor")
+                "distinct-key headroom (or a read's emissions exceeded the "
+                "in-kernel compaction width); raise emission_cap_factor or "
+                "set kernel_compact=False")
         t = self._flushed()
         self.timer.stage(f"count: {self.n_reads_counted} reads, "
                          f"{int(np.asarray(t.n_filled))} kmers, "
@@ -991,7 +993,9 @@ class Engine:
         if int(np.asarray(self._cap_overflow)):
             raise RuntimeError(
                 "incidence batch pre-reduction overflowed its distinct-key "
-                "headroom; raise emission_cap_factor")
+                "headroom (or a read's emissions exceeded the in-kernel "
+                "compaction width); raise emission_cap_factor or set "
+                "kernel_compact=False")
         if pt is None:
             pair_keys = np.zeros(0, np.uint64)
         else:
