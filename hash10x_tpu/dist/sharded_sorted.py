@@ -147,15 +147,17 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     split across devices (local pre-routing dedup would undercount there);
     exactness across batches relies on barcode-aligned batching (engine).
 
-    pair_retained: sorted retained-hash array (u64, U64MAX-padded to a
-    power of two so retained sizes bucket into few compiles) — the step then
-    emits INCIDENCE PAIR KEYS ``code * n_kmers + rank(hash)`` instead of raw
-    hashes (the second pass of SURVEY.md §3.1 #6, distributed): keys route by
-    their low bits, owner shards dedup through the same LSM flushes, and
-    ``gather_sorted_compact`` returns the globally sorted unique pair set that
-    ``incidence_from_sorted_pairs`` consumes.  n_kmers is the number of real
-    (non-pad) entries.  Implies pair-key occurrence semantics (the dedup IS the
-    goal; weights are discarded).
+    pair_retained: the sorted retained-hash array (U64MAX pads tolerated) —
+    the step then builds the INCIDENCE PAIR SET ``code * n_kmers +
+    rank(hash)`` (the second pass of SURVEY.md §3.1 #6, distributed) in two
+    hops: (1) raw (hash, barcode) emissions route to the hash's range-owner
+    shard, which holds only ITS slice of the retained set (never replicated —
+    the pod-scale requirement) and maps hash -> canonical global rank as
+    local rank + shard offset; (2) the pair keys route by their low bits to
+    dedup owners, whose LSM flushes dedup them; ``gather_sorted_compact``
+    returns the globally sorted unique pair set that
+    ``incidence_from_sorted_pairs`` consumes.  Implies pair-key occurrence
+    semantics (the dedup IS the goal; weights are discarded).
     """
     n = mesh.devices.size
     # hash values span 2k bits (hashspec: (x*factor1 mod 2^64) >> (64-2k));
@@ -178,17 +180,31 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         return jnp.where(valid, (keys & shard_mask).astype(jnp.int32), n)
 
     flush_fn = _make_flush(mesh)
+    retained_rows = retained_off = None
     if pair_retained is not None:
-        retained_d = jnp.asarray(pair_retained)  # replicated closure constant
-        n_kmers_u = jnp.uint64(int(np.sum(np.asarray(pair_retained) != U64MAX)))
-
-        def to_pair_keys(flat_h, flat_bc):
-            idx = jnp.searchsorted(retained_d, flat_h)
-            idx_c = jnp.minimum(idx, retained_d.shape[0] - 1)
-            found = (flat_h != _U64MAX) & (retained_d[idx_c] == flat_h)
-            ok = found & (flat_bc >= 0)
-            key = flat_bc.astype(jnp.uint64) * n_kmers_u + idx_c.astype(jnp.uint64)
-            return jnp.where(ok, key, _U64MAX)
+        # Shard the retained set by the SAME value-range splitters as the
+        # count table: each hash's range-owner holds its slice of the sorted
+        # retained array, whose local rank + shard offset IS the canonical
+        # global k-mer id — the retained set is never replicated (the
+        # pod-scale requirement; a 1B-kmer set is GBs).
+        ret = np.asarray(pair_retained)
+        ret = ret[ret != U64MAX]  # accept padded or raw
+        n_kmers_u = jnp.uint64(max(len(ret), 1))
+        r_dest = np.searchsorted(range_splitters(spec, n, range_eff), ret,
+                                 side="right")
+        r_counts = np.bincount(r_dest, minlength=n)
+        r_off = np.concatenate([[0], np.cumsum(r_counts)])[:-1]
+        # pad slices to a common power of two so retained sizes bucket into
+        # few distinct compiles (U64MAX pads never match real queries)
+        R_pad = 1 << max(int(max(int(r_counts.max(initial=0)), 1) - 1
+                             ).bit_length(), 8)
+        rows = np.full((n, R_pad), U64MAX, np.uint64)
+        for s_ in range(n):
+            rows[s_, :r_counts[s_]] = ret[r_dest == s_]  # ascending slices
+        sh_d = NamedSharding(mesh, P("d"))
+        retained_rows = jax.device_put(jnp.asarray(rows), sh_d)
+        retained_off = jax.device_put(
+            jnp.asarray(np.asarray(r_off, np.int64)), sh_d)
 
     def sketch(codes, lengths, force_jnp):
         if not force_jnp and use_kernel and minimizer_pallas.supported(
@@ -230,62 +246,87 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     def lane_cap(E):
         return lane_capacity or max(int(4 * E // max(n, 1)), 8)
 
-    def step_body(buf, drops, codes, lengths, bcs, offset, nmask, force_jnp):
+    def to_lanes(ds, payloads_pads, cap):
+        """Dest-sorted payload arrays -> per-dest (n, cap) lane stacks +
+        dropped count.  Contiguous per-dest segments become lanes via static
+        slices (argsort + gathers and a (row, pos) scatter all lower as
+        sort-based emulation on TPU; the caller's one multi-operand lax.sort
+        + these slices replace them).  ``payloads_pads`` = [(array, pad)]."""
+        starts = jnp.searchsorted(ds, jnp.arange(n + 1, dtype=jnp.int32)
+                                  ).astype(jnp.int32)
+        lane_idx = jnp.arange(cap, dtype=jnp.int32)
+        padded = [jnp.concatenate([x, jnp.full((cap,), pv, x.dtype)])
+                  for x, pv in payloads_pads]
+        outs = [[] for _ in payloads_pads]
+        dropped = jnp.uint32(0)
+        for r in range(n):
+            seg_len = starts[r + 1] - starts[r]
+            for i, (xp, (_, pv)) in enumerate(zip(padded, payloads_pads)):
+                lane = jax.lax.dynamic_slice(xp, (starts[r],), (cap,))
+                outs[i].append(jnp.where(lane_idx < seg_len, lane, pv))
+            dropped += jnp.maximum(seg_len - cap, 0).astype(jnp.uint32)
+        return [jnp.stack(o) for o in outs], dropped
+
+    def a2a(x):
+        if n > 1:
+            return jax.lax.all_to_all(x, "d", split_axis=0, concat_axis=0,
+                                      tiled=True)
+        return x
+
+    def step_body(buf, drops, codes, lengths, bcs, offset, nmask, force_jnp,
+                  rrows=None, roff=None):
         buf, drops = buf[0], drops[0]
         if packed_read_len:
             from ..core.encode import unpack_2bit_jnp
             codes = unpack_2bit_jnp(codes, packed_read_len, nmask)
         flat_h, flat_bc, cap_over = emissions_of(codes, lengths, bcs, force_jnp)
-        if pair_retained is not None:
-            flat_h = to_pair_keys(flat_h, flat_bc)
         E = flat_h.shape[0]
         cap = lane_cap(E)
+        if pair_retained is not None:
+            # hop 1: route (hash, barcode) to the hash's range-owner shard
+            d1 = jnp.where(flat_h != _U64MAX,
+                           jnp.searchsorted(splitters_d, flat_h, side="right"
+                                            ).astype(jnp.int32), n)
+            ds, hs, bs = jax.lax.sort(
+                (d1, flat_h, flat_bc.astype(jnp.int32)),
+                dimension=0, num_keys=1)
+            (sh_l, sb_l), drop1 = to_lanes(ds, [(hs, _U64MAX), (bs, -1)], cap)
+            rh = a2a(sh_l).reshape(-1)
+            rb = a2a(sb_l).reshape(-1)
+            # owner-side canonical rank: local slice rank + shard offset
+            row = rrows[0]
+            idx = jnp.searchsorted(row, rh)
+            idx_c = jnp.minimum(idx, row.shape[0] - 1)
+            found = (rh != _U64MAX) & (row[idx_c] == rh) & (rb >= 0)
+            rank = roff[0].astype(jnp.uint64) + idx_c.astype(jnp.uint64)
+            key = jnp.where(found,
+                            rb.astype(jnp.uint64) * n_kmers_u + rank, _U64MAX)
+            # hop 2: route pair keys to their low-bits owner for dedup
+            cap2 = lane_cap(key.shape[0])
+            d2 = jnp.where(key != _U64MAX,
+                           (key & shard_mask).astype(jnp.int32), n)
+            ds2, ks2 = jax.lax.sort((d2, key), dimension=0, num_keys=1)
+            (sk_l,), drop2 = to_lanes(ds2, [(ks2, _U64MAX)], cap2)
+            flat = a2a(sk_l).reshape(-1)
+            buf = jax.lax.dynamic_update_slice(buf, flat, (jnp.int32(offset),))
+            return buf[None], (drops + cap_over + drop1 + drop2)[None]
+
         dest = dest_of(flat_h)
-        # dest-sort carrying payloads (argsort + gathers and the lane scatter
-        # both lower as sort-based emulation on TPU — one multi-operand
-        # lax.sort + static slices replaces all of it; same discipline as
-        # cluster/sparse_dist._make_pair_route_step)
+        # dest-sort carrying payloads, then static-slice lane build
         if count_mode == "barcodes":
             ds, hs, bs = jax.lax.sort(
                 (dest, flat_h, flat_bc.astype(jnp.int32)),
                 dimension=0, num_keys=1)
+            (send, send_bc), n_drop = to_lanes(
+                ds, [(hs, _U64MAX), (bs, -1)], cap)
         else:
             ds, hs = jax.lax.sort((dest, flat_h), dimension=0, num_keys=1)
-        # contiguous per-shard segments -> (n, cap) send lanes by static
-        # slices; pad so dynamic_slice never clamps the start
-        starts = jnp.searchsorted(ds, jnp.arange(n + 1, dtype=jnp.int32)
-                                  ).astype(jnp.int32)
-        hs_pad = jnp.concatenate([hs, jnp.full((cap,), _U64MAX, jnp.uint64)])
-        if count_mode == "barcodes":
-            bs_pad = jnp.concatenate([bs, jnp.full((cap,), -1, jnp.int32)])
-        lane_idx = jnp.arange(cap, dtype=jnp.int32)
-        lanes, lanes_bc = [], []
-        n_dropped = cap_over
-        for r in range(n):
-            seg_len = starts[r + 1] - starts[r]
-            lane = jax.lax.dynamic_slice(hs_pad, (starts[r],), (cap,))
-            lanes.append(jnp.where(lane_idx < seg_len, lane, _U64MAX))
-            if count_mode == "barcodes":
-                lb = jax.lax.dynamic_slice(bs_pad, (starts[r],), (cap,))
-                lanes_bc.append(jnp.where(lane_idx < seg_len, lb, -1))
-            n_dropped += jnp.maximum(seg_len - cap, 0).astype(jnp.uint32)
-        send = jnp.stack(lanes)
-        if count_mode == "barcodes":
-            send_bc = jnp.stack(lanes_bc)
-        if n > 1:
-            recv = jax.lax.all_to_all(send, "d", split_axis=0, concat_axis=0,
-                                      tiled=True)
-            if count_mode == "barcodes":
-                recv_bc = jax.lax.all_to_all(send_bc, "d", split_axis=0,
-                                             concat_axis=0, tiled=True)
-        else:
-            recv = send
-            if count_mode == "barcodes":
-                recv_bc = send_bc
+            (send,), n_drop = to_lanes(ds, [(hs, _U64MAX)], cap)
+        recv = a2a(send)
         flat = recv.reshape(-1)
         if count_mode == "barcodes":
             # owner-side (hash, barcode) dedup: exact for split barcodes
-            fb = recv_bc.reshape(-1)
+            fb = a2a(send_bc).reshape(-1)
             # two-key lax.sort, not lexsort: argsort+gather lowers as slow
             # sort-based gather emulation on TPU
             hs2, bs2 = jax.lax.sort((flat, fb), dimension=0, num_keys=2)
@@ -294,26 +335,43 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             first = first & (bs2 >= 0) & (hs2 != _U64MAX)
             flat = jnp.where(first, hs2, _U64MAX)
         buf = jax.lax.dynamic_update_slice(buf, flat, (jnp.int32(offset),))
-        return buf[None], (drops + n_dropped)[None]
+        return buf[None], (drops + cap_over + n_drop)[None]
 
     # step variants keyed by (with_nmask, force_jnp): the common fast path
     # (kernel, no Ns) plus exact fallbacks; traced lazily so unused variants
     # never cost a remote compile
     _steps = {}
 
+    pair = pair_retained is not None
+
     def get_step(with_nmask: bool, force_jnp: bool):
         key = (with_nmask, force_jnp)
         if key not in _steps:
+            ret_specs = (P("d"), P("d")) if pair else ()
             if with_nmask:
-                def body(buf, drops, codes, lengths, bcs, offset, nmask):
-                    return step_body(buf, drops, codes, lengths, bcs, offset,
-                                     nmask, force_jnp)
-                specs = (P("d"), P("d"), P("d"), P("d"), P("d"), P(), P("d"))
+                if pair:
+                    def body(buf, drops, rrows, roff, codes, lengths, bcs,
+                             offset, nmask):
+                        return step_body(buf, drops, codes, lengths, bcs,
+                                         offset, nmask, force_jnp, rrows, roff)
+                else:
+                    def body(buf, drops, codes, lengths, bcs, offset, nmask):
+                        return step_body(buf, drops, codes, lengths, bcs,
+                                         offset, nmask, force_jnp)
+                specs = (P("d"), P("d")) + ret_specs + \
+                    (P("d"), P("d"), P("d"), P(), P("d"))
             else:
-                def body(buf, drops, codes, lengths, bcs, offset):
-                    return step_body(buf, drops, codes, lengths, bcs, offset,
-                                     None, force_jnp)
-                specs = (P("d"), P("d"), P("d"), P("d"), P("d"), P())
+                if pair:
+                    def body(buf, drops, rrows, roff, codes, lengths, bcs,
+                             offset):
+                        return step_body(buf, drops, codes, lengths, bcs,
+                                         offset, None, force_jnp, rrows, roff)
+                else:
+                    def body(buf, drops, codes, lengths, bcs, offset):
+                        return step_body(buf, drops, codes, lengths, bcs,
+                                         offset, None, force_jnp)
+                specs = (P("d"), P("d")) + ret_specs + \
+                    (P("d"), P("d"), P("d"), P())
             _steps[key] = jax.jit(jax.shard_map(
                 body, mesh=mesh, in_specs=specs,
                 out_specs=(P("d"), P("d")), check_vma=False),
@@ -326,7 +384,10 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         if cf and mode == "minimizer" and spec.w > 1:
             Pp = min(Pp, cf * (2 * Pp // (spec.w + 1)) + cf)
         E = (batch_reads // n) * Pp
-        return n * lane_cap(E)
+        w1 = n * lane_cap(E)
+        if pair:  # hop-2 receipts (hop-1 receipts re-route as pair keys)
+            return n * lane_cap(w1)
+        return w1
 
     def apply(t: ShardedSortedTable, codes, lengths, bcs,
               nmask=None, force_jnp=None) -> ShardedSortedTable:
@@ -359,8 +420,11 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
                 force_jnp = True
         force_jnp = force_jnp or nmask is not None
         step_fn = get_step(nmask is not None, force_jnp)
-        args = (t.buf, t.route_drops, jnp.asarray(codes), jnp.asarray(lengths),
-                jnp.asarray(bcs), jnp.int32(t.buf_n))
+        args = (t.buf, t.route_drops)
+        if pair:
+            args = args + (retained_rows, retained_off)
+        args = args + (jnp.asarray(codes), jnp.asarray(lengths),
+                       jnp.asarray(bcs), jnp.int32(t.buf_n))
         if nmask is not None:
             args = args + (jnp.asarray(nmask),)
         (t.buf, t.route_drops) = step_fn(*args)

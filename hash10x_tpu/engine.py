@@ -1008,11 +1008,13 @@ class Engine:
 
     def _incidence_sharded(self, fqb: Fqb, local_shard: bool = False) -> None:
         """Mesh-distributed incidence build (SURVEY.md §3.2 table-sharding row
-        applied to the code-table pass): DP read batches sketch per device,
-        pair keys ``code * n_kmers + kmer_rank`` route to owner shards by key
-        low bits through one all_to_all, and owner-shard LSM flushes dedup —
-        memory and sort work per shard is 1/n of the pair volume.  The gathered
-        sorted pair set is identical to the single-device pass (tests)."""
+        applied to the code-table pass): DP read batches sketch per device;
+        raw (hash, barcode) emissions route to the hash's range-owner shard,
+        which holds only ITS slice of the retained set (no replication) and
+        maps hash -> canonical global rank; pair keys then route by low bits
+        to dedup owners whose LSM flushes dedup — memory and sort work per
+        shard is 1/n of the pair volume.  The gathered sorted pair set is
+        identical to the single-device pass (tests)."""
         from .dist import sharded as D
         from .dist import sharded_sorted as DS
         cfg = self.cfg
@@ -1026,17 +1028,12 @@ class Engine:
         else:
             mesh = D.make_mesh(cfg.n_shards)
         n_kmers = len(self.retained_hashes)
-        # pad the retained set to a power of two so retained sizes bucket into
-        # few distinct compiles (U64MAX pads never match real queries)
-        pad_n = 1 << max(int(n_kmers - 1).bit_length(), 10) if n_kmers else 1024
-        padded = np.full(pad_n, U64MAX, np.uint64)
-        padded[:n_kmers] = self.retained_hashes
         step = DS.make_sorted_count_step(
             cfg.spec, mesh, mode=cfg.mode, modulus=cfg.modulus,
             use_kernel=cfg.use_kernel, packed_read_len=fqb.read_len,
             count_mode="occurrences",
             emission_cap_factor=cfg.emission_cap_factor,
-            syncmer_s=cfg.syncmer_s, pair_retained=padded)
+            syncmer_s=cfg.syncmer_s, pair_retained=self.retained_hashes)
         width = step.recv_width(cfg.batch_reads, fqb.read_len)
         cap = max((1 << cfg.table_bits) // cfg.n_shards, 1 << 14)
         dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
