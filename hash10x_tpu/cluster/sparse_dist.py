@@ -263,10 +263,131 @@ def _make_propagate(mesh: Mesh, n_p: int, n_f: int):
     return jax.jit(prop)
 
 
+def _make_propagate_block(mesh: Mesh, blk_pad: int, n_f: int, e_blk: int):
+    """Block variant of :func:`_make_propagate` for lanes whose full label
+    vector does not fit replicated (SCALING.md phase 3, config #5): labels
+    cover only positions [p0, p0 + blk_pad); each shard contributes the
+    contiguous slice of its p-sorted edge table that falls in the block
+    (host-verified to fit e_blk).  Blocks must align to barcode boundaries —
+    components never cross barcodes, so every label stays inside its block
+    and the pointer jump stays local."""
+    big = jnp.int32(2 ** 31 - 1)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P("d"), P("d"), P(), P()), out_specs=P(),
+                       check_vma=False)
+    def prop(ebuf, lo, p0, p1):
+        nf_u = jnp.uint64(max(n_f, 1))
+        p0i = p0.astype(jnp.int32)
+        # dynamic_slice clamps the start near the row end; the explicit key-
+        # range mask below drops any pulled-in out-of-block edges (which sit
+        # at the FRONT of the slice, so p_loc is NOT sorted — segment ids are
+        # passed unsorted)
+        e = jax.lax.dynamic_slice(ebuf[0], (lo[0],), (e_blk,))
+        valid = (e >= p0.astype(jnp.uint64) * nf_u) & \
+                (e < p1.astype(jnp.uint64) * nf_u) & (e != _U64MAX)
+        p_loc = jnp.where(valid, (e // nf_u).astype(jnp.int32) - p0i, blk_pad)
+        f_by_p = jnp.where(valid, (e % nf_u).astype(jnp.int32), n_f)
+        fkey = jnp.where(valid, (e % nf_u) * jnp.uint64(blk_pad)
+                         + jnp.where(valid, p_loc, 0).astype(jnp.uint64),
+                         _U64MAX)
+        fkey = jnp.sort(fkey)
+        fvalid = fkey != _U64MAX
+        f_sorted = jnp.where(fvalid, (fkey // jnp.uint64(blk_pad))
+                             .astype(jnp.int32), n_f)
+        p_by_f = jnp.where(fvalid, (fkey % jnp.uint64(blk_pad))
+                           .astype(jnp.int32), blk_pad)
+        init = p0i + jnp.arange(blk_pad, dtype=jnp.int32)
+
+        def jump(lab):
+            # labels are global positions INSIDE the block: gather locally
+            j = jnp.clip(lab - p0i, 0, blk_pad - 1)
+            return jnp.minimum(lab, lab[j])
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            lab, _ = state
+            part_f = jax.ops.segment_min(
+                lab[jnp.minimum(p_by_f, blk_pad - 1)], f_sorted,
+                num_segments=n_f + 1, indices_are_sorted=True)[:n_f]
+            f_lab = jax.lax.pmin(part_f, "d")
+            part_p = jax.ops.segment_min(
+                f_lab[jnp.minimum(f_by_p, n_f - 1)], p_loc,
+                num_segments=blk_pad + 1)[:blk_pad]
+            back = jax.lax.pmin(part_p, "d")
+            new = jnp.minimum(lab, jnp.minimum(back, big))
+            new = jump(jump(new))
+            changed = jax.lax.pmax(jnp.any(new != lab).astype(jnp.int32),
+                                   "d") > 0
+            return (new, changed)
+
+        lab, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+        return lab
+
+    return jax.jit(prop)
+
+
+def _propagate_blocks(inc, mesh: Mesh, ehashes, n_f: int,
+                      target_pairs: int) -> np.ndarray:
+    """Run the label fixpoint block by block (barcode-aligned position
+    ranges).  Per-block device state is the block's label vector plus each
+    shard's contiguous slice of its p-sorted edge table; block and edge
+    widths bucket to powers of two so few fixpoint programs compile."""
+    blocks = _label_blocks(inc, target_pairs)
+    n = mesh.devices.size
+    sh = NamedSharding(mesh, P("d"))
+    nf_u = np.uint64(max(n_f, 1))
+    # per-shard edge counts per block boundary, one device pass
+    bounds = np.array([b[0] for b in blocks] + [blocks[-1][1]],
+                      np.uint64) * nf_u
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(P("d"), P()),
+                       out_specs=P("d"), check_vma=False)
+    def find_bounds(eh, b):
+        return jnp.searchsorted(eh[0], b).astype(jnp.int64)[None]
+
+    starts = np.asarray(jax.jit(find_bounds)(ehashes, jnp.asarray(bounds)))
+    glob = np.empty(inc.n_pairs, np.int64)
+    props = {}
+    for i, (p0, p1) in enumerate(blocks):
+        blk_pad = _pow2(max(p1 - p0, 8))
+        e_blk = _pow2(max(int((starts[:, i + 1] - starts[:, i]).max()), 8))
+        key = (blk_pad, e_blk)
+        if key not in props:
+            props[key] = _make_propagate_block(mesh, blk_pad, n_f, e_blk)
+        lab = props[key](ehashes,
+                         jax.device_put(starts[:, i].copy(), sh),
+                         jnp.int64(p0), jnp.int64(p1))
+        glob[p0:p1] = np.asarray(lab)[:p1 - p0]
+    return glob
+
+
+def _label_blocks(inc, target_pairs: int):
+    """Barcode-aligned position blocks of ~target_pairs each: (p0, p1) list."""
+    offs = inc.code_offsets
+    blocks = []
+    start = 0
+    for c in range(inc.n_codes):
+        if offs[c + 1] - start >= target_pairs:
+            blocks.append((int(start), int(offs[c + 1])))
+            start = int(offs[c + 1])
+    if start < inc.n_pairs:
+        blocks.append((int(start), int(inc.n_pairs)))
+    return blocks or [(0, int(inc.n_pairs))]
+
+
 def cluster_codes_sparse_dist(inc, mesh: Mesh, min_friend_share: int = 8,
-                              chunk: int = 1 << 20, flat: bool = False):
+                              chunk: int = 1 << 20, flat: bool = False,
+                              label_block_pairs: int = 0):
     """Mesh-distributed ``cluster_codes_sparse`` — identical labels, device
-    memory and sweep work split over the mesh."""
+    memory and sweep work split over the mesh.
+
+    label_block_pairs > 0: propagate in barcode-aligned position blocks of
+    roughly that many pairs (labels and per-iteration state sized per block,
+    not per lane — the config-#5 path where a replicated (n_pairs,) label
+    vector no longer fits; see SCALING.md phase 3)."""
     keys, shares = cooccurrence_counts_dist(inc, mesh, chunk=chunk)
     fkeys = friend_pairs(keys, shares, min_friend_share)
     if len(fkeys) == 0 or inc.n_pairs == 0:
@@ -314,8 +435,12 @@ def cluster_codes_sparse_dist(inc, mesh: Mesh, min_friend_share: int = 8,
         if int(np.asarray(jnp.sum(espill))):
             raise RuntimeError("distributed cluster edge table spilled; "
                                "raise shard count or edge capacity")
-        prop = _make_propagate(mesh, inc.n_pairs, len(fkeys))
-        glob = np.asarray(prop(ehashes)).astype(np.int64)
+        if label_block_pairs:
+            glob = _propagate_blocks(inc, mesh, ehashes, len(fkeys),
+                                     label_block_pairs)
+        else:
+            prop = _make_propagate(mesh, inc.n_pairs, len(fkeys))
+            glob = np.asarray(prop(ehashes)).astype(np.int64)
         code_of_p = np.repeat(np.arange(inc.n_codes, dtype=np.int64),
                               np.diff(inc.code_offsets))
         labels = (glob - inc.code_offsets[code_of_p]).astype(np.int32)

@@ -43,6 +43,20 @@ def test_cluster_dist_equals_single(rng, n_dev, thr):
         assert got[c].tolist() == want[c].tolist(), f"code {c}"
 
 
+@pytest.mark.parametrize("n_dev,block", [(2, 40), (8, 40), (8, 150)])
+def test_cluster_dist_label_blocks_equals_single(rng, n_dev, block):
+    """label_block_pairs (the config-#5 memory path: per-block label vectors
+    over contiguous slices of the p-sorted edge tables) must reproduce the
+    replicated-label path exactly."""
+    inc = random_incidence(rng, n_kmers=70, n_codes=28, density=0.18)
+    want = SP.cluster_codes_sparse(inc, min_friend_share=2)
+    got = SD.cluster_codes_sparse_dist(inc, mesh_of(n_dev),
+                                       min_friend_share=2, chunk=256,
+                                       label_block_pairs=block)
+    for c in range(inc.n_codes):
+        assert got[c].tolist() == want[c].tolist(), f"code {c}"
+
+
 def test_cluster_dist_empty(rng):
     inc = build_incidence(np.zeros(0, np.int32), np.zeros(0, np.int32), 5, 3)
     got = SD.cluster_codes_sparse_dist(inc, mesh_of(8), min_friend_share=1)
