@@ -28,6 +28,8 @@ Parameters (take effect for later commands):
   --countMode <barcodes|occurrences>
   --batchReads <n>
   --shards <n>         shard the count pass over n mesh devices
+  --labelBlocks <n>    distributed clustering: propagate labels in
+                       barcode-aligned blocks of ~n pairs (full-lane scale)
   -t <n>               thread count (accepted for compatibility; device batching
                        replaces host threads)
 
@@ -122,6 +124,7 @@ class _State:
         self.batch_reads = 4096
         self.syncmer_s = 0
         self.n_shards = 1
+        self.label_blocks = 0
         self.metrics_path = None
         self.device_mem = False
         self.engine: Optional[Engine] = None
@@ -138,7 +141,8 @@ class _State:
                 min_count=self.min_count, max_count=self.max_count,
                 cluster_mode=self.cluster_mode, min_share=self.min_share,
                 min_friend_share=self.min_friend_share, syncmer_s=self.syncmer_s,
-                max_friends=self.max_friends, n_shards=self.n_shards)
+                max_friends=self.max_friends, n_shards=self.n_shards,
+                cluster_label_blocks=self.label_blocks)
             self.engine = Engine(cfg, log=self.err)
             if self.metrics_path or self.device_mem:
                 from ..utils.timing import StageTimer
@@ -250,6 +254,8 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         elif a == "--shards":
             st.param_change_guard(); st.n_shards = int(need(1, a)[0])
             st.engine = None
+        elif a == "--labelBlocks":
+            st.label_blocks = int(need(1, a)[0])
         elif a == "--metrics":
             st.metrics_path = need(1, a)[0]
         elif a == "--devMem":

@@ -91,6 +91,9 @@ class EngineConfig:
     n_shards: int = 1                # >1: count pass runs sharded over a device
                                      # mesh (dist/sharded_sorted); downstream
                                      # commands consume the gathered table
+    cluster_label_blocks: int = 0    # >0: distributed clustering propagates
+                                     # labels in barcode-aligned blocks of ~n
+                                     # pairs (config-#5 memory path)
 
 
 class Engine:
@@ -1088,7 +1091,8 @@ class Engine:
             else:
                 mesh = D.make_mesh(cfg.n_shards)
             self.clusters = cluster_codes_sparse_dist(
-                self.inc, mesh, min_friend_share=cfg.min_friend_share)
+                self.inc, mesh, min_friend_share=cfg.min_friend_share,
+                label_block_pairs=cfg.cluster_label_blocks)
         else:
             self.clusters = cooccur.cluster_codes(
                 self.inc, min_share=min_share or cfg.min_share,
