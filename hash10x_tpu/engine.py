@@ -1090,9 +1090,14 @@ class Engine:
                 mesh = multihost.global_mesh(cfg.n_shards)
             else:
                 mesh = D.make_mesh(cfg.n_shards)
+            # auto-engage barcode-block propagation when the replicated
+            # label vector would be large (config-#5 scale; SCALING.md)
+            blocks = cfg.cluster_label_blocks
+            if not blocks and self.inc.n_pairs > (1 << 28):
+                blocks = 1 << 26
             self.clusters = cluster_codes_sparse_dist(
                 self.inc, mesh, min_friend_share=cfg.min_friend_share,
-                label_block_pairs=cfg.cluster_label_blocks)
+                label_block_pairs=blocks)
         else:
             self.clusters = cooccur.cluster_codes(
                 self.inc, min_share=min_share or cfg.min_share,
