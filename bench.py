@@ -401,4 +401,12 @@ if __name__ == "__main__":
     if "--shards-curve" in sys.argv:
         shards_curve_child()
     else:
-        main()
+        try:
+            main()
+        except Exception as e:  # always leave ONE honest JSON line
+            import traceback
+            traceback.print_exc()
+            print(json.dumps({"metric": "count_pass_reads_per_s", "value": 0,
+                              "unit": "reads/s", "vs_baseline": 0,
+                              "note": f"bench failed: {type(e).__name__}: "
+                                      f"{e}"[:300]}))
