@@ -88,6 +88,13 @@ class EngineConfig:
                                      # HBM writeback, smaller pad-removal
                                      # sorts); per-read overflow is counted
                                      # exactly and raises — never silent
+    flush_batches: int = 16          # append-buffer capacity in batches of
+                                     # pre-reduced emissions: each flush costs
+                                     # one full merge sort of (table + buffer)
+                                     # plus one host sync (capacity adoption),
+                                     # so a larger buffer makes flushes
+                                     # proportionally rarer; memory is
+                                     # ~12 B/slot x flush_batches x batch slots
     n_shards: int = 1                # >1: count pass runs sharded over a device
                                      # mesh (dist/sharded_sorted); downstream
                                      # commands consume the gathered table

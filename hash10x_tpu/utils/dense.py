@@ -25,20 +25,6 @@ def _sorted_marks(c):
 
 
 @jax.jit
-def _sorted_marks_counts(c):
-    s, is_new = _sorted_marks(c)
-    n = s.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int64)
-    # count of value v = (start of next segment) - (start of v's segment):
-    # next_start via reverse cummin of marked positions
-    nxt = jnp.concatenate([jnp.where(is_new, pos, jnp.int64(n))[1:],
-                           jnp.full((1,), n, jnp.int64)])
-    next_start = jax.lax.cummin(nxt, reverse=True)
-    start = jax.lax.cummax(jnp.where(is_new, pos, -1))
-    return s, is_new, next_start - start
-
-
-@jax.jit
 def _dense_of(c):
     s, is_new = _sorted_marks(c)
     dense_of_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
@@ -52,11 +38,13 @@ def device_unique(values: np.ndarray, return_counts: bool = False):
     if len(values) == 0:
         u = np.zeros(0, np.asarray(values).dtype)
         return (u, np.zeros(0, np.int64)) if return_counts else u
-    if return_counts:
-        s, is_new, counts = (np.asarray(x)
-                             for x in _sorted_marks_counts(jnp.asarray(values)))
-        return s[is_new], counts[is_new]
     s, is_new = (np.asarray(x) for x in _sorted_marks(jnp.asarray(values)))
+    if return_counts:
+        # segment lengths from boundary positions — same single host pass as
+        # the boolean compress below (an int64 reverse-cummin counts variant
+        # on device SIGSEGVed the TPU compiler; positions are cheaper anyway)
+        pos = np.flatnonzero(is_new)
+        return s[pos], np.diff(np.append(pos, len(s)))
     return s[is_new]
 
 
