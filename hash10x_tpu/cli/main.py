@@ -306,22 +306,28 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             st.get_engine().write_histogram(out)
         elif a == "--writeHash":
             path = need(1, a)[0]
+            eng = st.get_engine()
+            eng.host_materialize()  # collectives: ALL processes must enter
             if st.is_coord:
-                st.get_engine().save(path)
+                eng.save(path)
         elif a == "--readHash":
             st.get_engine().load(need(1, a)[0])
         elif a == "--errorFix":
             st.get_engine().error_fix(int(need(1, a)[0]))
         elif a == "--writeCounts":
             path = need(1, a)[0]
+            eng = st.get_engine()
+            eng.host_materialize()  # collectives: ALL processes must enter
             if st.is_coord:
                 with open(path, "w") as f:
-                    st.get_engine().write_counts(f)
+                    eng.write_counts(f)
         elif a == "--writeClusters":
             path = need(1, a)[0]
+            eng = st.get_engine()
+            eng.host_materialize()
             if st.is_coord:
                 with open(path, "w") as f:
-                    st.get_engine().write_clusters(f)
+                    eng.write_clusters(f)
         elif a in ("--cluster", "--codeClusters"):
             eng = st.get_engine()
             if st.fqb is not None:
@@ -348,9 +354,9 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         elif a == "--cribReport":
             from ..crib.crib import crib_report
             eng = st.get_engine()
-            if st.crib is None or eng.clusters is None:
+            if st.crib is None or eng.cluster_labels is None:
                 raise SystemExit("--cribReport requires --cribBuild and --codeClusters")
-            crib_report(eng.inc, eng.clusters, st.crib, out)
+            crib_report(eng.inc, eng.cluster_labels, st.crib, out)
         else:
             raise SystemExit(f"unknown argument {a!r} (see --help)")
         i += 1

@@ -207,14 +207,16 @@ def _size_class(n: int) -> int:
 
 def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
                   min_friend_share: int = 8, max_friends: int = 256,
-                  max_batch_bytes: int = 256 << 20) -> List[np.ndarray]:
+                  max_batch_bytes: int = 256 << 20, flat: bool = False):
     """Cluster every barcode of an Incidence (the ``--codeClusters`` pass).
 
     mode="pair": exact pairwise-support contract (O(K^2) per barcode — small sets).
     mode="friend": scalable friend-barcode path (near-linear; the co-occurrence
     matrix route of BASELINE.json).  Both bit-match their oracle counterparts.
 
-    Returns per-code int32 label arrays aligned with ``inc.kmers_of(code)`` order.
+    Returns per-code int32 label arrays aligned with ``inc.kmers_of(code)``
+    order, or — with ``flat=True`` — one position-aligned flat int32 array
+    (the at-scale representation: no O(n_codes) host objects).
     The uncapped friend path (max_friends=0, the default) runs the fully sparse
     global pipeline (``cluster/sparse.py`` — memory ∝ pairs, never n_codes²);
     capped friend and pair modes run as padded per-barcode device batches grouped
@@ -222,7 +224,8 @@ def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
     """
     if mode == "friend" and max_friends == 0:
         from .sparse import cluster_codes_sparse
-        return cluster_codes_sparse(inc, min_friend_share=min_friend_share)
+        return cluster_codes_sparse(inc, min_friend_share=min_friend_share,
+                                    flat=flat)
     sizes = np.diff(inc.code_offsets)
     list_lens = np.diff(inc.kmer_offsets)
     out: List[np.ndarray] = [None] * inc.n_codes  # type: ignore
@@ -298,4 +301,7 @@ def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
             for bi, code in enumerate(chunk):
                 n = int(sizes[code])
                 out[code] = labels[bi, :n].copy()
+    if flat:
+        return (np.concatenate(out) if inc.n_pairs
+                else np.zeros(0, np.int32)).astype(np.int32, copy=False)
     return out

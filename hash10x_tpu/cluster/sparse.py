@@ -57,7 +57,10 @@ from ..table.incidence import Incidence
 __all__ = ["cooccurrence_counts", "friend_pairs", "propagate_labels",
            "canonical_ranks", "cluster_codes_sparse"]
 
-_U64MAX = jnp.uint64(U64MAX)
+# numpy scalar, NOT jnp: a module-level jnp array is a DEVICE constant
+# that jit captures and must fetch at lowering time (hangs through the
+# relay, and forces backend init at import); np scalars lower as literals
+_U64MAX = np.uint64(U64MAX)
 
 # default enumeration window (keys generated per device step, static shape)
 _CHUNK = 1 << 22
@@ -167,13 +170,21 @@ def _sweep_into_table(widths_and_keys, buf_factor: int = 8):
 
     Capacity grows 4x at a time from a 2^18 floor (flush_grow load 0.25):
     every distinct (capacity, buffer) pair is a fresh remote compile of the
-    merge, so fewer/larger steps beat tight sizing."""
+    merge, so fewer/larger steps beat tight sizing.  Steady-state flushes are
+    SYNC-FREE: while the host-side occupancy bound (filled + buffered) stays
+    under load, ``st.flush`` cannot spill; only boundary-crossing flushes pay
+    flush_grow's host sync (which refreshes the exact bound)."""
     t = None
+    bound = 0
     for w, keys in widths_and_keys:
         if t is None:
             t = st.make_sorted_table(1 << 18, _pow2(buf_factor * w))
         if t.buf_n + w > t.buf.shape[0]:
-            t = st.flush_grow(t, load=0.25)
+            if bound + t.buf_n <= 0.25 * t.capacity:
+                bound += t.buf_n
+                t = st.flush(t)
+            else:
+                t, bound = st.flush_grow(t, load=0.25, return_count=True)
         t = st.append(t, keys)
     if t is None:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint32)

@@ -5,20 +5,27 @@ Distributes the three phases of ``cluster/sparse.py`` over a 1-D device mesh
 (SURVEY.md §3.2's collective rows, BASELINE verbatim: "barcode-barcode
 co-occurrence matrices merge via psum/all-gather collectives"):
 
-1. **Co-occurrence counts** — the shift-join windows run data-parallel (one
-   window per device per round, codes/segments replicated — they are 8 bytes
-   per incidence pair); each device's pair keys route to their owner shard by
-   key low bits through ONE ``all_to_all`` (the same EP-style deterministic
+1. **Co-occurrence counts** — the inverted incidence's k-mer segments are
+   DEALT to shards (longest-first round-robin, ``_ShardedShiftJoin``); each
+   shard holds ONLY its own segments' codes/seg arrays (~n_pairs/n per chip —
+   nothing whole-lane is ever replicated) and runs the shift-join sweep over
+   them locally; emitted pair keys route to their owner shard by key low bits
+   through ONE ``all_to_all`` per round (the same EP-style deterministic
    routing as the count pass), landing in per-shard LSM sorted tables that
-   flush shard-parallel.  Send lanes are built from contiguous segments of the
-   dest-sorted keys (static slices — no scatter).
-2. **Friend edges** — friend keys (share >= threshold) are REPLICATED (they
-   are the thresholded co-occurrence, ~tens of bytes per barcode); each device
-   sweeps its windows and keeps its edges LOCAL — no routing at all.
-3. **Propagation** — labels ((n_p,) int32) are replicated; each iteration
+   flush shard-parallel.  Send lanes are sized to the expected per-dest load
+   (~W/n with low-bit routing), not the worst case — overflow is counted and
+   raises, never silent.
+2. **Friend thresholding — SHARD-SIDE.**  Each shard filters its own slice of
+   the co-occurrence table to share >= threshold; only the survivors (the
+   friend set, ~1000x smaller than the pair volume) are ever gathered,
+   mirrored to both orders, and replicated (tens of bytes per barcode).
+3. **Friend edges** — each shard sweeps its own segments and emits edges for
+   friend pairs; edges accumulate in per-shard LSM tables and never route.
+4. **Propagation** — labels ((n_p,) int32) are replicated; each iteration
    computes per-device partial ``segment_min`` over its local edges and merges
    with ``lax.pmin`` over the mesh — the psum/all-gather merge of BASELINE,
-   with min as the monoid.
+   with min as the monoid.  ``label_block_pairs`` switches to barcode-aligned
+   label blocks when the replicated vector would not fit (config #5).
 
 Equality with the single-device sparse path (and hence the union-find oracle)
 is enforced by tests on a virtual 8-device CPU mesh.
@@ -36,43 +43,111 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..hashspec import U64MAX
 from ..table import sorted_table as st
-from .sparse import (_ShiftJoin, _forward_positions, _local_indices, _pow2,
+from .sparse import (_forward_positions, _local_indices, _pow2,
                      _win_edges, _win_keys, canonical_ranks, friend_pairs)
 
-__all__ = ["cluster_codes_sparse_dist", "cooccurrence_counts_dist"]
+__all__ = ["cluster_codes_sparse_dist", "cooccurrence_counts_dist",
+           "friend_keys_dist"]
 
-_U64MAX = jnp.uint64(U64MAX)
+# numpy scalar, NOT jnp: a module-level jnp array is a DEVICE constant
+# that jit captures and must fetch at lowering time (hangs through the
+# relay, and forces backend init at import); np scalars lower as literals
+_U64MAX = np.uint64(U64MAX)
 
 
-def _round_windows(sj: _ShiftJoin, n: int):
-    """All (a, d) windows, grouped into rounds of n (one per device); rounds
-    pad with a no-op window (d = 0 emits nothing: i and i+0 is masked by
-    ``i != j``... d=0 pairs every position with itself, so use a=0, d=0 with
-    an explicit skip flag instead)."""
-    wins = [(a, d) for d in range(1, sj.D) for a, _ in sj.windows(d)]
-    rounds = []
-    for i in range(0, len(wins), n):
-        r = wins[i:i + n]
-        pad = n - len(r)
-        r = r + [(0, 0)] * pad  # d=0 flags a no-op window
-        rounds.append(r)
-    return rounds
+def _put_rows(rows: np.ndarray, mesh: Mesh):
+    """Place a host (n, ...) array so row s lives on mesh device s (works
+    multi-process: only addressable shards materialize per process)."""
+    sh = NamedSharding(mesh, P("d"))
+    return jax.make_array_from_callback(rows.shape, sh,
+                                        lambda idx: rows[idx])
+
+
+class _ShardedShiftJoin:
+    """Segment-partitioned shift join: k-mer segments dealt to shards
+    longest-first round-robin; each shard holds only ITS segments' arrays
+    (per-chip memory ~ n_pairs/n — the whole-lane replication of the round-2
+    path was ~O(n_pairs) PER CHIP, the config-#4/#5 collapse point)."""
+
+    def __init__(self, inc, mesh: Mesh, max_window: int,
+                 with_positions: bool = False):
+        n = mesh.devices.size
+        self.n = n
+        self.n_codes = inc.n_codes
+        lens = np.diff(inc.kmer_offsets).astype(np.int64)
+        order = np.argsort(-lens, kind="stable")
+        self.per = [order[s::n] for s in range(n)]  # descending within shard
+        self.sls = [lens[p] for p in self.per]
+        self.cums = [np.concatenate([[0], np.cumsum(sl)]) for sl in self.sls]
+        self.Ds = [int(sl[0]) if len(sl) else 0 for sl in self.sls]
+        maxpairs = max((int(c[-1]) for c in self.cums), default=1)
+        D = max(self.Ds + [1])
+        # one window width for every shard and sweep: each distinct shape is a
+        # separate XLA program (remote compiles ~20-60s each)
+        self.W = min(_pow2(max(maxpairs, 1)),
+                     max(_pow2(max_window), _pow2(4 * D)))
+        Wtot = _pow2(max(maxpairs, 1))
+        codes = np.zeros((n, Wtot + self.W), np.int32)
+        seg = np.full((n, Wtot + self.W), -1, np.int32)
+        pos = np.zeros((n, Wtot + self.W), np.int64) if with_positions else None
+        fwd_pos = _forward_positions(inc) if with_positions else None
+        for s in range(n):
+            p, sl, cum = self.per[s], self.sls[s], self.cums[s]
+            npair = int(cum[-1])
+            if npair == 0:
+                continue
+            starts = inc.kmer_offsets[:-1][p]
+            pos_old = (np.arange(npair, dtype=np.int64)
+                       - np.repeat(cum[:-1], sl) + np.repeat(starts, sl))
+            codes[s, :npair] = inc.kmer_codes[pos_old]
+            seg[s, :npair] = np.repeat(np.arange(len(sl), dtype=np.int32), sl)
+            if pos is not None:
+                pos[s, :npair] = fwd_pos[pos_old]
+        self.codes_d = _put_rows(codes, mesh)
+        self.seg_d = _put_rows(seg, mesh)
+        self.pos_d = _put_rows(pos, mesh) if pos is not None else None
+
+    def _wins(self, s: int):
+        out = []
+        sl, cum = self.sls[s], self.cums[s]
+        for d in range(1, self.Ds[s]):
+            m = int(np.searchsorted(-sl, -(d + 1), side="right"))
+            b = int(cum[m])
+            if b - d <= 0:
+                continue
+            a = 0
+            while a < b - d:
+                out.append((a, d))
+                a += self.W - d
+        return out
+
+    def rounds(self):
+        """Per round: (a (n,) int64, d (n,) int32) — each shard's next window;
+        exhausted shards pad with the d=0 no-op."""
+        wins = [self._wins(s) for s in range(self.n)]
+        R = max((len(w) for w in wins), default=0)
+        for w in wins:
+            w.extend([(0, 0)] * (R - len(w)))
+        return [(np.array([wins[s][r][0] for s in range(self.n)], np.int64),
+                 np.array([wins[s][r][1] for s in range(self.n)], np.int32))
+                for r in range(R)]
 
 
 def _make_pair_route_step(mesh: Mesh, W: int, n_codes: int, cap_lane: int):
-    """One routed sweep round: every device computes one window's pair keys,
-    buckets them by owner shard (key & (n-1)), one all_to_all delivers, and
-    the receipts append to the per-shard buffer."""
+    """One routed sweep round: every shard computes one window's pair keys
+    over ITS OWN segments, buckets them by owner shard (key & (n-1)), one
+    all_to_all delivers, and the receipts append to the per-shard buffer."""
     n = mesh.devices.size
     n_codes_u = jnp.uint64(max(n_codes, 1))
 
     @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P("d"), P("d"), P(), P(), P("d"), P("d"), P()),
+                       in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"),
+                                 P("d"), P()),
                        out_specs=(P("d"), P("d")),
                        check_vma=False)
     def body(buf, drops, codes_pad, seg_pad, a, d, offset):
         buf, drops = buf[0], drops[0]
-        key = _win_keys(codes_pad, seg_pad, a[0], jnp.int32(d[0]),
+        key = _win_keys(codes_pad[0], seg_pad[0], a[0], jnp.int32(d[0]),
                         n_codes_u, W)
         key = jnp.where(d[0] > 0, key, _U64MAX)  # d=0 round padding: no-op
         dest = jnp.where(key != _U64MAX,
@@ -124,24 +199,25 @@ def _make_flush(mesh: Mesh):
     return jax.jit(flush_body, donate_argnums=(0, 1, 2))
 
 
-def cooccurrence_counts_dist(inc, mesh: Mesh, chunk: int = 1 << 20,
-                             ) -> Tuple[np.ndarray, np.ndarray]:
-    """Mesh-distributed sparse co-occurrence (phase 1).  Returns the same
-    host-gathered sorted (keys, shares) — both orders — as the single-device
-    ``cooccurrence_counts``."""
+def _cooccur_table(inc, mesh: Mesh, chunk: int):
+    """Run the sharded co-occurrence sweep; returns the per-shard sorted
+    (hashes (n, cap), counts (n, cap)) device arrays (shards own key low
+    bits) — or None when there are no pairs to enumerate."""
     n = mesh.devices.size
-    sj = _ShiftJoin(inc, chunk)
-    if inc.n_pairs == 0 or sj.D < 2:
-        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    sj = _ShardedShiftJoin(inc, mesh, chunk)
+    if inc.n_pairs == 0 or max(sj.Ds) < 2:
+        return None
     W = sj.W
-    # worst case a whole window routes to one shard
-    cap_lane = W
+    # low-bit routing spreads a window's keys ~uniformly; size lanes to the
+    # expected load with 4x headroom (exact overflow accounting raises) —
+    # worst-case W lanes made flush volume scale WITH the mesh size, the
+    # round-2 inverse-scaling artifact
+    cap_lane = min(W, _pow2(4 * W // max(n, 1) + 1024))
     step, recv_width = _make_pair_route_step(mesh, W, inc.n_codes, cap_lane)
     flush = _make_flush(mesh)
 
-    rounds = _round_windows(sj, n)
-    lens = sj.sl
-    total_pairs = int((lens * (lens - 1) // 2).sum())
+    rounds = sj.rounds()
+    total_pairs = int(sum(int((sl * (sl - 1) // 2).sum()) for sl in sj.sls))
     cap = _pow2(max(2 * total_pairs // n, 1 << 12))
     buf_cap = _pow2(max(4 * recv_width, 1 << 12))
     sh = NamedSharding(mesh, P("d"))
@@ -151,29 +227,79 @@ def cooccurrence_counts_dist(inc, mesh: Mesh, chunk: int = 1 << 20,
     drops = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
     spilled = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
 
-    codes_r = jax.device_put(sj.codes_d, NamedSharding(mesh, P()))
-    seg_r = jax.device_put(sj.seg_d, NamedSharding(mesh, P()))
     buf_n = 0
-    for r in rounds:
+    for a, d in rounds:
         if buf_n + recv_width > buf_cap:
             hashes, counts, buf, sp = flush(hashes, counts, buf)
             spilled = spilled + sp
             buf_n = 0
-        a = jax.device_put(np.array([x[0] for x in r], np.int64), sh)
-        d = jax.device_put(np.array([x[1] for x in r], np.int32), sh)
-        buf, drops = step(buf, drops, codes_r, seg_r, a, d, jnp.int32(buf_n))
+        buf, drops = step(buf, drops, sj.codes_d, sj.seg_d,
+                          _put_rows(a, mesh), _put_rows(d, mesh),
+                          jnp.int32(buf_n))
         buf_n += recv_width
     if buf_n:
         hashes, counts, buf, sp = flush(hashes, counts, buf)
         spilled = spilled + sp
     if int(np.asarray(jnp.sum(drops))):
-        raise RuntimeError("pair routing dropped keys (lane overflow)")
+        raise RuntimeError("pair routing dropped keys (lane overflow); "
+                           "raise chunk or shard count")
     if int(np.asarray(jnp.sum(spilled))):
         raise RuntimeError("sharded co-occurrence table spilled; raise chunk "
                            "or shard count")
-    # host gather, ascending (shards partition by low bits: merge by sort).
-    # Multi-process: shards on other hosts are not addressable — replicate
-    # first (jit identity with replicated out-sharding inserts the all_gather)
+    return hashes, counts
+
+
+def friend_keys_dist(inc, mesh: Mesh, min_friend_share: int,
+                     chunk: int = 1 << 20) -> np.ndarray:
+    """Sorted friend keys (both orders), thresholded SHARD-SIDE: only the
+    survivors — the friend set, ~1000x smaller than the pair volume — are
+    gathered and mirrored; no phase materializes O(n_pairs) on one device or
+    host (VERDICT r02 Missing #2b)."""
+    hc = _cooccur_table(inc, mesh, chunk)
+    if hc is None:
+        return np.zeros(0, np.uint64)
+    hashes, counts = hc
+    thr = jnp.uint32(min_friend_share)
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(P("d"), P("d")),
+                       out_specs=P("d"), check_vma=False)
+    def nsurv(h, c):
+        keep = (c[0] >= thr) & (h[0] != _U64MAX)
+        return jnp.sum(keep).astype(jnp.int64)[None]
+
+    counts_per = np.asarray(jax.jit(nsurv, out_shardings=NamedSharding(
+        mesh, P()))(hashes, counts))
+    Wf = _pow2(max(int(counts_per.max(initial=0)), 8))
+
+    def filt(h, c):
+        keep = (c[0] >= thr) & (h[0] != _U64MAX)
+        hh = jnp.sort(jnp.where(keep, h[0], _U64MAX))
+        return hh[:Wf][None]
+
+    fil = jax.jit(jax.shard_map(filt, mesh=mesh, in_specs=(P("d"), P("d")),
+                                out_specs=P("d"), check_vma=False),
+                  out_shardings=NamedSharding(mesh, P()))
+    rows = np.asarray(fil(hashes, counts)).reshape(-1)
+    k1 = rows[rows != U64MAX]
+    if len(k1) == 0:
+        return np.zeros(0, np.uint64)
+    # mirror to both orders (keys were emitted c1 < c2 only) and sort — the
+    # friend set is small, one device sort
+    from .sparse import _mirror_sort
+    keys, _ = _mirror_sort(k1, np.ones(len(k1), np.uint32), inc.n_codes)
+    return keys
+
+
+def cooccurrence_counts_dist(inc, mesh: Mesh, chunk: int = 1 << 20,
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-gathered sorted (keys, shares) — both orders — equal to the
+    single-device ``cooccurrence_counts``.  TEST/COMPAT SURFACE ONLY: this
+    gathers the full pair set; the production cluster path thresholds
+    shard-side (``friend_keys_dist``) and never gathers it."""
+    hc = _cooccur_table(inc, mesh, chunk)
+    if hc is None:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    hashes, counts = hc
     if not hashes.is_fully_addressable:
         rep = NamedSharding(mesh, P())
         hashes, counts = jax.jit(lambda a, b: (a, b),
@@ -182,7 +308,6 @@ def cooccurrence_counts_dist(inc, mesh: Mesh, chunk: int = 1 << 20,
     c = np.asarray(counts).reshape(-1)
     keep = h != U64MAX
     h, c = h[keep], c[keep]
-    # mirror to both orders (keys were emitted c1 < c2 only) + device sort
     from .sparse import _mirror_sort
     return _mirror_sort(h, c, inc.n_codes)
 
@@ -192,14 +317,14 @@ def _make_edge_step(mesh: Mesh, W: int, n_codes: int):
     n_codes_u = jnp.uint64(max(n_codes, 1))
 
     @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P("d"), P(), P(), P(), P(), P("d"), P("d"),
-                                 P()),
+                       in_specs=(P("d"), P("d"), P("d"), P("d"), P(),
+                                 P("d"), P("d"), P()),
                        out_specs=P("d"),
                        check_vma=False)
     def body(ebuf, codes_pad, seg_pad, p_pad, fkeys, a, d, offset):
         ebuf = ebuf[0]
         n_f_u = jnp.uint64(fkeys.shape[0])
-        e1, e2 = _win_edges(codes_pad, seg_pad, p_pad, a[0],
+        e1, e2 = _win_edges(codes_pad[0], seg_pad[0], p_pad[0], a[0],
                             jnp.int32(d[0]), fkeys, n_codes_u, n_f_u, W)
         live = (d[0] > 0)
         e = jnp.where(live, jnp.concatenate([e1, e2]), _U64MAX)
@@ -382,33 +507,28 @@ def cluster_codes_sparse_dist(inc, mesh: Mesh, min_friend_share: int = 8,
                               chunk: int = 1 << 20, flat: bool = False,
                               label_block_pairs: int = 0):
     """Mesh-distributed ``cluster_codes_sparse`` — identical labels, device
-    memory and sweep work split over the mesh.
+    memory and sweep work split over the mesh (per-chip memory ~ n_pairs/n:
+    segments, co-occurrence, and edges are all shard-resident; only the
+    friend set and labels replicate).
 
     label_block_pairs > 0: propagate in barcode-aligned position blocks of
     roughly that many pairs (labels and per-iteration state sized per block,
     not per lane — the config-#5 path where a replicated (n_pairs,) label
     vector no longer fits; see SCALING.md phase 3)."""
-    keys, shares = cooccurrence_counts_dist(inc, mesh, chunk=chunk)
-    fkeys = friend_pairs(keys, shares, min_friend_share)
+    fkeys = friend_keys_dist(inc, mesh, min_friend_share, chunk=chunk)
     if len(fkeys) == 0 or inc.n_pairs == 0:
         canon = canonical_ranks(inc, _local_indices(inc)) \
             if inc.n_pairs else np.zeros(0, np.int32)
     else:
         n = mesh.devices.size
-        sj = _ShiftJoin(inc, chunk)
+        sj = _ShardedShiftJoin(inc, mesh, chunk, with_positions=True)
         W = sj.W
         rep = NamedSharding(mesh, P())
         sh = NamedSharding(mesh, P("d"))
-        codes_r = jax.device_put(sj.codes_d, rep)
-        seg_r = jax.device_put(sj.seg_d, rep)
-        p_pad = jax.device_put(jnp.asarray(np.concatenate(
-            [_forward_positions(inc)[sj.pos_old],
-             np.zeros(sj.W, np.int64)]).astype(np.int64)), rep)
         fkeys_r = jax.device_put(jnp.asarray(fkeys), rep)
-        rounds = _round_windows(sj, n)
-        # stream edges through per-shard LSM tables instead of one
-        # 2W x rounds buffer (mostly U64MAX pads at scale): per-device memory
-        # is then ∝ its REAL edge count.  Edges are unique per (p, f), so the
+        rounds = sj.rounds()
+        # stream edges through per-shard LSM tables: per-device memory is
+        # ∝ its REAL edge count.  Edges are unique per (p, f), so the
         # flush's dedup is a no-op compaction; spills are counted and raise.
         e_cap = _pow2(max(8 * inc.n_pairs // n, 1 << 12))
         buf_cap = _pow2(max(8 * 2 * W, 1 << 12))
@@ -419,14 +539,13 @@ def cluster_codes_sparse_dist(inc, mesh: Mesh, min_friend_share: int = 8,
         eflush = _make_flush(mesh)
         estep = _make_edge_step(mesh, W, inc.n_codes)
         off = 0
-        for r in rounds:
+        for a, d in rounds:
             if off + 2 * W > buf_cap:
                 ehashes, ecounts, ebuf, sp = eflush(ehashes, ecounts, ebuf)
                 espill = espill + sp
                 off = 0
-            a = jax.device_put(np.array([x[0] for x in r], np.int64), sh)
-            d = jax.device_put(np.array([x[1] for x in r], np.int32), sh)
-            ebuf = estep(ebuf, codes_r, seg_r, p_pad, fkeys_r, a, d,
+            ebuf = estep(ebuf, sj.codes_d, sj.seg_d, sj.pos_d, fkeys_r,
+                         _put_rows(a, mesh), _put_rows(d, mesh),
                          jnp.int32(off))
             off += 2 * W
         if off:

@@ -23,12 +23,16 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..hashspec import HashSpec, U64MAX
 
 __all__ = ["kmer_grid", "minimizer_mask", "modimizer_mask", "sketch"]
 
-_U64MAX = jnp.uint64(U64MAX)
+# numpy scalar, NOT jnp: a module-level jnp array is a DEVICE constant
+# that jit captures and must fetch at lowering time (hangs through the
+# relay, and forces backend init at import); np scalars lower as literals
+_U64MAX = np.uint64(U64MAX)
 
 
 def _u64(x) -> jnp.ndarray:

@@ -167,8 +167,14 @@ def crib_report(inc, clusters, crib: Crib, out=sys.stdout) -> None:
     out.write("crib totals " +
               " ".join(f"{LABEL_NAMES[l]} {int(comp[l])}" for l in range(5)) + "\n")
     n_pairs = inc.n_pairs
-    flat_cl = (np.concatenate(clusters).astype(np.int64) if n_pairs
-               else np.zeros(0, np.int64))
+    # clusters: flat position-aligned label array (at-scale form) or the
+    # legacy per-code list
+    if isinstance(clusters, np.ndarray):
+        flat_cl = clusters.astype(np.int64, copy=False) if n_pairs \
+            else np.zeros(0, np.int64)
+    else:
+        flat_cl = (np.concatenate(clusters).astype(np.int64) if n_pairs
+                   else np.zeros(0, np.int64))
     code_of_p = np.repeat(np.arange(inc.n_codes, dtype=np.int64),
                           np.diff(inc.code_offsets))
     K = int(flat_cl.max()) + 1 if n_pairs else 1

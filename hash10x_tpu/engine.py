@@ -107,10 +107,17 @@ class Engine:
     def __init__(self, cfg: EngineConfig, log=sys.stderr):
         self.cfg = cfg
         self.table: Optional[st.SortedTable] = None
-        self.retained_hashes: Optional[np.ndarray] = None
-        self.retained_counts: Optional[np.ndarray] = None
+        # sharded count-pass state (n_shards > 1): the table stays
+        # device-sharded through filter -> incidence; host copies materialize
+        # only on explicit commands (save/write_counts/crib)
+        self._dt = None     # ShardedSortedTable
+        self._ret_sh = None  # (rows (n,Rpad), counts (n,Rpad), off (n,), n)
+        self._retained_host: Optional[np.ndarray] = None
+        self._retained_counts_host: Optional[np.ndarray] = None
         self.inc: Optional[Incidence] = None
-        self.clusters: Optional[List[np.ndarray]] = None
+        # flat int32 labels aligned with inc.code_kmers (one per (code, kmer)
+        # pair) — the only stored representation; `clusters` is a lazy view
+        self.cluster_labels: Optional[np.ndarray] = None
         self.split_inc: Optional[Incidence] = None
         self.split_origin: Optional[np.ndarray] = None
         self.n_reads_counted = 0
@@ -125,14 +132,59 @@ class Engine:
         steps and cached device-resident read chunks — a re-count of the same
         lane then skips the host->device ingest entirely."""
         self.table = None
-        self.retained_hashes = None
-        self.retained_counts = None
+        self._dt = None
+        self._ret_sh = None
+        self._retained_host = None
+        self._retained_counts_host = None
         self.inc = None
-        self.clusters = None
+        self.cluster_labels = None
         self.split_inc = None
         self.split_origin = None
         self.n_reads_counted = 0
+        self._filled_bound = 0
         self._cap_overflow = jnp.zeros((), jnp.uint32)
+
+    # -- retained set (host view is lazy; sharded runs keep it on device) ----------
+
+    @property
+    def retained_hashes(self) -> Optional[np.ndarray]:
+        """Count-band retained hashes, ascending.  On the sharded path the
+        retained set lives device-sharded (``_ret_sh``); accessing this
+        property gathers it to host ONCE (explicit commands only — the
+        sharded incidence path never touches it)."""
+        if self._retained_host is None and self._ret_sh is not None:
+            self._gather_retained()
+        return self._retained_host
+
+    @retained_hashes.setter
+    def retained_hashes(self, v) -> None:
+        self._retained_host = v
+
+    @property
+    def retained_counts(self) -> Optional[np.ndarray]:
+        if self._retained_counts_host is None and self._ret_sh is not None:
+            self._gather_retained()
+        return self._retained_counts_host
+
+    @retained_counts.setter
+    def retained_counts(self, v) -> None:
+        self._retained_counts_host = v
+
+    def _gather_retained(self) -> None:
+        """Host copies of the sharded retained set (shards own contiguous
+        ascending value ranges, so the gather is a pad-stripping concat)."""
+        rows, counts_rows, off, n = self._ret_sh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if not rows.is_fully_addressable:
+            rep = NamedSharding(self._dt.mesh, P())
+            rows, counts_rows = jax.jit(lambda a, b: (a, b),
+                                        out_shardings=(rep, rep))(rows,
+                                                                  counts_rows)
+        h = np.asarray(rows).reshape(-1)
+        c = np.asarray(counts_rows).reshape(-1)
+        keep = h != U64MAX
+        self._retained_host = h[keep]
+        self._retained_counts_host = c[keep]
 
     # -- batching ------------------------------------------------------------------
 
@@ -535,23 +587,36 @@ class Engine:
 
     def _ensure_table(self, emission_width: int) -> None:
         """Create the count table sized so flushes are RARE: the buffer holds
-        ~8 batches of appends (each flush costs one host sync for capacity
-        adoption — see st.flush_grow — plus a full merge sort, so amortizing
-        over many batches matters).  Capacity then follows the data; table_bits
-        is only the starting point, not a tuning knob."""
+        ``cfg.flush_batches`` batches of appends (each flush costs one host
+        sync for capacity adoption — see st.flush_grow — plus a full merge
+        sort, so amortizing over many batches matters).  Capacity then follows
+        the data; table_bits is only the starting point, not a tuning knob."""
         if self.table is None:
             cap = 1 << self.cfg.table_bits
-            buf_cap = max(cap, 1 << (16 * emission_width - 1).bit_length())
+            want = max(1, self.cfg.flush_batches) * emission_width
+            buf_cap = max(cap, 1 << max(want - 1, 1).bit_length())
             self.table = st.make_sorted_table(cap, buf_cap)
 
+    def _flush_any(self, t: "st.SortedTable", bound: int, load: float = 0.6):
+        """Flush ``t``, keeping the pipeline ASYNC in the steady state: while
+        the host-side occupancy upper bound (filled-so-far + buffered — a
+        merge can only produce fewer distinct keys) stays under ``load`` of
+        capacity, the sync-free ``st.flush`` provably cannot spill; only when
+        the bound crosses ``load`` does ``st.flush_grow`` pay its host sync
+        to adopt capacity and refresh the exact bound.  The per-flush sync
+        (~30-50 ms through the relay) serialized the whole count pass when
+        every flush grew.  Returns (table, new_bound)."""
+        if bound + t.buf_n <= load * t.capacity:
+            return st.flush(t), bound + t.buf_n
+        return st.flush_grow(t, load=load, return_count=True)
+
     def _pre_append(self, n: int) -> None:
-        """Make room for n more buffered entries.  flush_grow merges at full
-        width (it can never spill) and re-homes the table at the capacity the
-        data needs, so the steady-state loop is pure async enqueue between
-        rare flushes."""
+        """Make room for n more buffered entries (see _flush_any: sync-free
+        while the occupancy bound allows, capacity adoption otherwise)."""
         t = self.table
         if t.buf_n + n > t.buf.shape[0]:
-            self.table = st.flush_grow(t)
+            self.table, self._filled_bound = self._flush_any(
+                t, self._filled_bound)
 
     def _append(self, flat_h: jnp.ndarray, weights=None) -> None:
         n = flat_h.shape[0]
@@ -562,9 +627,12 @@ class Engine:
             self.table = st.append_pairs(self.table, flat_h, weights)
 
     def _flushed(self) -> st.SortedTable:
+        if self.table is None and self._dt is not None:
+            self._gather_table()  # explicit host materialization (sharded)
         if self.table is None:
             self._ensure_table(1)
-        self.table = st.flush_grow(self.table)
+        self.table, self._filled_bound = st.flush_grow(self.table,
+                                                       return_count=True)
         return self.table
 
     # -- commands ------------------------------------------------------------------
@@ -603,15 +671,20 @@ class Engine:
         over = jnp.sum(srt[slots:] != jnp.uint64(U64MAX)).astype(jnp.uint32)
         return srt[:slots], None, over
 
-    def _fused_count_step(self, with_nmask: bool, use_kernel: bool):
-        """One jit for the whole per-batch count pipeline: unpack, sketch,
-        pre-reduce, and write the append buffer — a single dispatch per batch
-        (the op-by-op path paid ~10 relay/PCIe dispatches per batch with no
-        cross-op fusion, which dominated the count pass)."""
+    def _fused_count_scan(self, chunk_rows: int, nmask_w: int,
+                          use_kernel: bool, S: int):
+        """S batches per dispatch: lax.scan carves each batch out of the
+        device-resident chunk, sketches, pre-reduces, and writes the append
+        buffer — ONE dispatch for S batches.  Measured on-chip: the relay's
+        per-dispatch floor is ~1.1 ms (even a no-op), which dominated the
+        per-batch pipeline (r02: engine 10.5x slower than its own kernel);
+        scan-fusing amortizes it S-fold and lets XLA pipeline iterations.
+        Padding batches (m=0) emit only U64MAX keys — harmless to the flush.
+        ``nmask_w`` = N-mask word width (0 = batch has no N bases)."""
         cfg = self.cfg
-        key = ("count_step", with_nmask, use_kernel, cfg.count_mode,
-               cfg.batch_reads, self._read_len, cfg.mode, cfg.modulus,
-               cfg.syncmer_s, cfg.kernel_compact)
+        key = ("count_scan", chunk_rows, nmask_w, use_kernel, S,
+               cfg.count_mode, cfg.batch_reads, self._read_len, cfg.mode,
+               cfg.modulus, cfg.syncmer_s, cfg.kernel_compact)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -620,59 +693,123 @@ class Engine:
         bsz = cfg.batch_reads
         read_len = self._read_len
         C = self._compact_rows(read_len - spec.k + 1) if use_kernel else 0
+        P_true = read_len - spec.k + 1
+        slots = self._batch_slots(bsz, P_true, bsz * (C or P_true))
 
-        def core(buf, bufw, pk, ln, bc, nm, buf_n, over):
-            codes = unpack_2bit_jnp(pk, read_len, nm)
-            if use_kernel and C:
-                h, _, emit, ov = minimizer_pallas.sketch(
-                    spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
-                    syncmer_s=cfg.syncmer_s, compact_to=C)
-                over = over + jnp.sum(ov).astype(jnp.uint32)
-            elif use_kernel:
-                h, _, emit = minimizer_pallas.sketch(
-                    spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
-                    syncmer_s=cfg.syncmer_s)
-            else:
-                h, _, emit = seqhash_jnp.sketch(spec, codes, ln, mode=cfg.mode,
-                                                m=cfg.modulus,
-                                                syncmer_s=cfg.syncmer_s)
-            P = h.shape[1]
-            keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
-            flat_h = keyed.reshape(-1)
-            flat_bc = jnp.broadcast_to(bc[:, None], (bsz, P)).reshape(-1)
-            keys, wts, o = self._batch_keys(flat_h, flat_bc)
-            if wts is None:
-                buf, bufw = st._buf_write.__wrapped__(buf, bufw, keys, buf_n)
-            else:
-                buf, bufw = st._buf_write_pairs.__wrapped__(
-                    buf, bufw, keys, wts, buf_n)
-            return buf, bufw, over + o
+        def make_body(dp, dl, dc, dnm, buf_n):
+            def body(carry, xs):
+                buf, bufw, over = carry
+                off, m, i = xs
+                pk = jax.lax.dynamic_slice(
+                    dp, (off, jnp.int32(0)), (bsz, dp.shape[1]))
+                ln = jax.lax.dynamic_slice(dl, (off,), (bsz,))
+                bc = jax.lax.dynamic_slice(dc, (off,), (bsz,))
+                valid = jnp.arange(bsz, dtype=jnp.int32) < m
+                ln = jnp.where(valid, ln, 0)
+                bc = jnp.where(valid, bc, -1)
+                nm = None
+                if dnm is not None:
+                    nm = jax.lax.dynamic_slice(
+                        dnm, (off, jnp.int32(0)), (bsz, dnm.shape[1]))
+                    nm = jnp.where(valid[:, None], nm, 0)
+                codes = unpack_2bit_jnp(pk, read_len, nm)
+                if use_kernel and C:
+                    h, _, emit, ov = minimizer_pallas.sketch(
+                        spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
+                        syncmer_s=cfg.syncmer_s, compact_to=C)
+                    over = over + jnp.sum(ov).astype(jnp.uint32)
+                elif use_kernel:
+                    h, _, emit = minimizer_pallas.sketch(
+                        spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
+                        syncmer_s=cfg.syncmer_s)
+                else:
+                    h, _, emit = seqhash_jnp.sketch(
+                        spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
+                        syncmer_s=cfg.syncmer_s)
+                Pp = h.shape[1]
+                keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
+                flat_h = keyed.reshape(-1)
+                flat_bc = jnp.broadcast_to(bc[:, None], (bsz, Pp)).reshape(-1)
+                keys, wts, o = self._batch_keys(flat_h, flat_bc)
+                wpos = buf_n + i * jnp.int32(slots)
+                if wts is None:
+                    buf, bufw = st._buf_write.__wrapped__(buf, bufw, keys,
+                                                          wpos)
+                else:
+                    buf, bufw = st._buf_write_pairs.__wrapped__(
+                        buf, bufw, keys, wts, wpos)
+                return (buf, bufw, over + o), None
+            return body
 
-        if with_nmask:
-            def body(buf, bufw, pk, ln, bc, nm, buf_n, over):
-                return core(buf, bufw, pk, ln, bc, nm, buf_n, over)
+        if nmask_w:
+            def step(buf, bufw, dp, dl, dc, dnm, offs, ms, buf_n, over):
+                body = make_body(dp, dl, dc, dnm, buf_n)
+                (buf, bufw, over), _ = jax.lax.scan(
+                    body, (buf, bufw, over),
+                    (offs, ms, jnp.arange(S, dtype=jnp.int32)))
+                return buf, bufw, over
         else:
-            def body(buf, bufw, pk, ln, bc, buf_n, over):
-                return core(buf, bufw, pk, ln, bc, None, buf_n, over)
+            def step(buf, bufw, dp, dl, dc, offs, ms, buf_n, over):
+                body = make_body(dp, dl, dc, None, buf_n)
+                (buf, bufw, over), _ = jax.lax.scan(
+                    body, (buf, bufw, over),
+                    (offs, ms, jnp.arange(S, dtype=jnp.int32)))
+                return buf, bufw, over
 
-        fn = jax.jit(body, donate_argnums=(0, 1))
-        # entries appended per call (static): both modes buffer `slots`
-        P = read_len - spec.k + 1
-        fn.n_appended = self._batch_slots(bsz, P, bsz * (C or P))
+        fn = jax.jit(step, donate_argnums=(0, 1))
+        fn.n_appended = S * slots
+        fn.slots = slots
         self._step_cache[key] = fn
         return fn
+
+    def _run_fast_spans(self, dp, dl, dc, dnm, run) -> None:
+        """Dispatch one variant-uniform run of fast-path spans as scan groups
+        of up to ``flush_batches`` batches each."""
+        use_kernel, has_n = run["variant"]
+        spans = run["spans"]
+        S = max(1, self.cfg.flush_batches)
+        nmask_w = dnm.shape[1] if (has_n and dnm is not None) else 0
+        for i in range(0, len(spans), S):
+            grp = spans[i:i + S]
+            # scan length buckets to powers of two: a 3-span tail runs a
+            # 4-iteration scan, not 16 padded iterations (pad batches cost
+            # full sorts)
+            S_use = 1 << max(len(grp) - 1, 0).bit_length()
+            step = self._fused_count_scan(dp.shape[0], nmask_w, use_kernel,
+                                          S_use)
+            offs = np.zeros(S_use, np.int32)
+            ms = np.zeros(S_use, np.int32)
+            for j, (off, m) in enumerate(grp):
+                offs[j], ms[j] = off, m
+            self._ensure_table(step.slots)
+            # room for the full S batches (pad batches write U64MAX rows past
+            # the advance point; the next dispatch overwrites them — program
+            # order makes that safe), but advance only by the REAL batches
+            self._pre_append(step.n_appended)
+            t = self.table
+            args = (t.buf, t.bufw, dp, dl, dc)
+            if nmask_w:
+                args = args + (dnm,)
+            buf, bufw, over = step(*args, jnp.asarray(offs), jnp.asarray(ms),
+                                   jnp.int32(t.buf_n), self._cap_overflow)
+            self.table = st.SortedTable(t.hashes, t.counts, buf, bufw,
+                                        t.buf_n + len(grp) * step.slots,
+                                        t.spilled)
+            self._cap_overflow = over
 
     def count(self, fqb: Fqb, local_shard: bool = False) -> None:
         """Count pass: stream reads through the sketch into the count table.
 
-        The steady state is fully asynchronous: one fused jit dispatch per
-        batch appending into the device-resident buffer, host-scheduled LSM
-        flushes, and occupancy growth decisions from a host-side upper bound —
-        no device readback per batch (see _append).  Oversized barcodes (more
-        reads than a batch) arrive as tagged batch groups; in barcodes mode
-        their hashes dedup across the group through a side sorted-table before
-        entering the main table, so counts stay exact (the round-1 path raised
-        instead — real lanes contain pathological barcodes).
+        The steady state is fully asynchronous: scan-fused dispatches of
+        ``flush_batches`` batches each appending into the device-resident
+        buffer (the relay's ~1.1 ms/dispatch floor dominated a per-batch
+        loop), host-scheduled LSM flushes, and occupancy growth decisions
+        from a host-side upper bound — no device readback per batch.
+        Oversized barcodes (more reads than a batch) arrive as tagged batch
+        groups; in barcodes mode their hashes dedup across the group through
+        a side sorted-table before entering the main table, so counts stay
+        exact (the round-1 path raised instead — real lanes contain
+        pathological barcodes).
 
         ``local_shard=True`` (multi-process only): ``fqb`` is THIS process's
         input shard of the lane (barcode-disjoint shard files) rather than the
@@ -684,60 +821,102 @@ class Engine:
                              "multi-process mesh")
         self._read_len = fqb.read_len
         self._cap_overflow = jnp.zeros((), jnp.uint32)
-        cur_gid, gtab = None, None
+        gtab = None
         cfg = self.cfg
         bsz = cfg.batch_reads
-        spec = cfg.spec
-        for packed, nmask, lengths, bcs, meta in self._batches(fqb):
-            gid, n_valid, has_short = meta
-            self.n_reads_counted += n_valid
-            if gid != cur_gid and gtab is not None:
-                self._finish_group(gtab)
-                gtab = None
-            cur_gid = gid
-            if gid is None or cfg.count_mode != "barcodes":
-                # fast path: one fused dispatch into the main buffer
+
+        for dp, dl, dc, dnm, span_meta in self._chunks(fqb):
+            # group consecutive fast-path spans by jit variant; oversized-
+            # barcode groups (barcodes mode) break runs and stream via the
+            # side dedup table
+            run = None
+            cur_gid = None
+            for off, m, g, n_valid, has_short, has_n in span_meta:
+                self.n_reads_counted += n_valid
+                if g is not None and cfg.count_mode == "barcodes":
+                    if run is not None:
+                        self._run_fast_spans(dp, dl, dc, dnm, run)
+                        run = None
+                    if g != cur_gid and gtab is not None:
+                        self._finish_group(gtab)
+                        gtab = None
+                    cur_gid = g
+                    pk, ln, bc = self._carve(dp, dl, dc, bsz, off, m)
+                    nm = self._carve_nmask(dnm, bsz, off, m) if has_n else None
+                    flat_h, flat_bc = self._sketch_flat(
+                        pk, nm, ln, bc, has_short=has_short)
+                    keys, wts, over = self._batch_keys(flat_h, flat_bc)
+                    self._cap_overflow = self._cap_overflow + over
+                    self._ensure_table(keys.shape[0])
+                    if gtab is None:
+                        w = int(keys.shape[0])
+                        gtab = st.make_sorted_table(2 * w, 2 * w)
+                    if gtab.buf_n + keys.shape[0] > gtab.buf.shape[0]:
+                        gtab = st.flush_grow(gtab)
+                    gtab = st.append_pairs(gtab, keys, wts)
+                    continue
+                if gtab is not None:
+                    self._finish_group(gtab)
+                    gtab = None
+                    cur_gid = None
                 use_kernel = self._kernel_ok((bsz, self._read_len),
-                                             has_short, nmask is not None)
-                step = self._fused_count_step(nmask is not None, use_kernel)
-                self._ensure_table(step.n_appended)
-                self._pre_append(step.n_appended)
-                t = self.table
-                args = (t.buf, t.bufw, packed, lengths, bcs)
-                if nmask is not None:
-                    args = args + (nmask,)
-                buf, bufw, over = step(*args, jnp.int32(t.buf_n),
-                                       self._cap_overflow)
-                self.table = st.SortedTable(t.hashes, t.counts, buf, bufw,
-                                            t.buf_n + step.n_appended,
-                                            t.spilled)
-                self._cap_overflow = over
-                continue
-            # oversized barcode in barcodes mode: dedup across its batches via
-            # a side table; distinct hashes enter the main table at group end
-            flat_h, flat_bc = self._sketch_flat(packed, nmask, lengths, bcs,
-                                                has_short=has_short)
-            keys, wts, over = self._batch_keys(flat_h, flat_bc)
-            self._cap_overflow = self._cap_overflow + over
-            self._ensure_table(keys.shape[0])
-            if gtab is None:
-                w = int(keys.shape[0])
-                gtab = st.make_sorted_table(2 * w, 2 * w)
-            if gtab.buf_n + keys.shape[0] > gtab.buf.shape[0]:
-                gtab = st.flush_grow(gtab)
-            gtab = st.append_pairs(gtab, keys, wts)
+                                             has_short, has_n)
+                variant = (use_kernel, has_n)
+                if run is not None and run["variant"] != variant:
+                    self._run_fast_spans(dp, dl, dc, dnm, run)
+                    run = None
+                if run is None:
+                    run = {"variant": variant, "spans": []}
+                run["spans"].append((off, m))
+            if run is not None:
+                self._run_fast_spans(dp, dl, dc, dnm, run)
         if gtab is not None:
             self._finish_group(gtab)
-        if int(np.asarray(self._cap_overflow)):
-            raise RuntimeError(
-                f"batch pre-reduction overflowed its {self.cfg.emission_cap_factor}x "
-                "distinct-key headroom (or a read's emissions exceeded the "
-                "in-kernel compaction width); raise emission_cap_factor or "
-                "set kernel_compact=False")
-        t = self._flushed()
-        self.timer.stage(f"count: {self.n_reads_counted} reads, "
-                         f"{int(np.asarray(t.n_filled))} kmers, "
-                         f"spilled {int(np.asarray(t.spilled))}")
+        self._finalize_count()
+        if self.timer.enabled:
+            t = self.table
+            nf, sp = (int(x) for x in
+                      jax.device_get((t.n_filled, t.spilled)))
+            self.timer.stage(f"count: {self.n_reads_counted} reads, "
+                             f"{nf} kmers, spilled {sp}")
+
+    def _finalize_count(self) -> None:
+        """End-of-count flush + overflow check with ONE device sync: the
+        final merge is enqueued, then overflow counter and exact fill count
+        come back in a single ``device_get`` (each relay round trip is
+        ~30-50 ms — three separate fetches dominated small-lane walls)."""
+        self._ensure_table(1)
+        t = self.table
+        if t.buf_n == 0:
+            if int(np.asarray(self._cap_overflow)):
+                self._raise_cap_overflow()
+            return
+        h, w, n_real_d = st._merge_full(t.hashes, t.counts, t.buf, t.bufw)
+        ov, n_real = (int(x) for x in
+                      jax.device_get((self._cap_overflow, n_real_d)))
+        if ov:
+            self._raise_cap_overflow()
+        new_cap = t.capacity
+        while n_real > 0.6 * new_cap:
+            new_cap *= 2
+        nh, nw = st._take_cap(h, w, new_cap)
+        fb, fw = st._fresh_buf(t.buf, t.bufw)
+        self.table = st.SortedTable(nh, nw, fb, fw, 0, t.spilled)
+        self._filled_bound = n_real
+
+    def _raise_cap_overflow(self):
+        raise RuntimeError(
+            f"batch pre-reduction overflowed its {self.cfg.emission_cap_factor}x "
+            "distinct-key headroom (or a read's emissions exceeded the "
+            "in-kernel compaction width); raise emission_cap_factor or "
+            "set kernel_compact=False")
+
+    def _raise_pair_overflow(self):
+        raise RuntimeError(
+            "incidence batch pre-reduction overflowed its distinct-key "
+            "headroom (or a read's emissions exceeded the in-kernel "
+            "compaction width); raise emission_cap_factor or set "
+            "kernel_compact=False")
 
     def _multi_feed(self, fqb: Fqb, mesh, local_shard: bool):
         """Multi-process batch feed: (to_global, batch iterator).
@@ -820,17 +999,47 @@ class Engine:
                     np.array([n_new], np.int64), tiled=False)).sum())
             self.n_reads_counted += n_new
         else:
+            # oversized barcodes (more reads than a batch, barcodes mode):
+            # per-step owner-side dedup cannot dedup ACROSS the group's
+            # batches, so the group streams through a SIDE sharded table
+            # (occurrence semantics, same value-range splitters); at group
+            # end its distinct keys merge shard-locally into the main table
+            # with weight 1 — bit-equal to the single-device group path
+            gside = side_step = None
+            cur_gid = None
             for packed, nmask, lengths, bcs, meta in self._batches(fqb):
                 gid, n_valid, has_short = meta
+                self.n_reads_counted += n_valid
                 if gid is not None and cfg.count_mode == "barcodes":
-                    raise RuntimeError(
-                        "a barcode has more reads than --batchReads; the "
-                        "sharded count path dedups per step only — raise "
-                        "--batchReads (the single-device path handles "
-                        "oversized barcodes)")
+                    if side_step is None:
+                        side_step = DS.make_sorted_count_step(
+                            cfg.spec, mesh, mode=cfg.mode, modulus=cfg.modulus,
+                            use_kernel=cfg.use_kernel,
+                            packed_read_len=fqb.read_len,
+                            count_mode="occurrences",
+                            emission_cap_factor=cfg.emission_cap_factor,
+                            syncmer_s=cfg.syncmer_s)
+                    if gid != cur_gid and gside is not None:
+                        dt = self._merge_group_sharded(
+                            dt, side_step.finish(gside))
+                        gside = None
+                    cur_gid = gid
+                    if gside is None:
+                        swidth = side_step.recv_width(cfg.batch_reads,
+                                                      fqb.read_len)
+                        gside = DS.ShardedSortedTable(
+                            mesh, cap, max(cap * 2, 2 * swidth), spec=cfg.spec)
+                    gside = side_step(gside, packed, lengths, bcs, nmask=nmask,
+                                      force_jnp=has_short or nmask is not None)
+                    continue
+                if gside is not None:
+                    dt = self._merge_group_sharded(dt, side_step.finish(gside))
+                    gside = None
+                    cur_gid = None
                 dt = step(dt, packed, lengths, bcs, nmask=nmask,
                           force_jnp=has_short or nmask is not None)
-                self.n_reads_counted += n_valid
+            if gside is not None:
+                dt = self._merge_group_sharded(dt, side_step.finish(gside))
         dt = step.finish(dt)
         drops = DS.host_sum(dt, dt.route_drops)
         if drops:
@@ -838,25 +1047,93 @@ class Engine:
                                "(lane/cap overflow); raise lane capacity")
         if DS.host_sum(dt, dt.spilled):
             raise RuntimeError("sharded table spilled; raise --tableBits")
-        gh, gc = DS.gather_sorted_compact(dt)
+        # the table STAYS device-sharded: filter and incidence consume it in
+        # place; host materialization happens only on explicit commands
+        # (save/write_counts) — VERDICT r02 Missing #2a
+        self._dt = dt
+        if self.timer.enabled:  # collective metadata: uniform across processes
+            n_filled = DS.host_sum(
+                dt, (dt.hashes != jnp.uint64(U64MAX)).astype(jnp.int64))
+            self.timer.stage(f"count[sharded x{cfg.n_shards}]: "
+                             f"{self.n_reads_counted} reads, {n_filled} kmers")
+
+    def _merge_group_sharded(self, dt, gside):
+        """Merge an oversized-barcode side table's DISTINCT keys (weight 1
+        each — the barcode's distinct hashes) into the main sharded table,
+        shard-locally: both tables share the value-range splitters, so key
+        ranges line up and no routing is needed."""
+        import functools
+        from jax.sharding import PartitionSpec as P
+        from .dist import sharded_sorted as DS
+        if DS.host_sum(gside, gside.route_drops):
+            raise RuntimeError("oversized-barcode side table dropped "
+                               "emissions (lane overflow); raise lane "
+                               "capacity")
+        if DS.host_sum(gside, gside.spilled):
+            raise RuntimeError("oversized-barcode side table spilled; raise "
+                               "--tableBits")
+        u64max = jnp.uint64(U64MAX)
+
+        @functools.partial(jax.shard_map, mesh=dt.mesh,
+                           in_specs=(P("d"), P("d"), P("d")),
+                           out_specs=(P("d"), P("d"), P("d")))
+        def mg(mh, mc, sh_):
+            ones = (sh_[0] != u64max).astype(jnp.uint32)
+            h, c, sp = st._merge_impl.__wrapped__(mh[0], mc[0], sh_[0], ones)
+            return h[None], c[None], sp[None]
+
+        dt.hashes, dt.counts, sp = jax.jit(mg, donate_argnums=(0, 1))(
+            dt.hashes, dt.counts, gside.hashes)
+        dt.spilled = dt.spilled + sp
+        return dt
+
+    def host_materialize(self) -> None:
+        """Run every collective a host-materializing command needs, on ALL
+        processes.  Multi-process CLIs write files on the coordinator only,
+        but the sharded-state gathers are COLLECTIVES every process must
+        enter — a coordinator-only gather deadlocks the mesh."""
+        self._flushed()
+
+    def _gather_table(self) -> None:
+        """Materialize the sharded table into the single-device table —
+        only explicit host-materializing commands (save/write_counts/
+        error_fix) pay this; filter/incidence/histogram stay sharded."""
+        from .dist import sharded_sorted as DS
+        if self._ret_sh is not None and self._retained_host is None:
+            self._gather_retained()  # before the sharded state is dropped
+        gh, gc = DS.gather_sorted_compact(self._dt)
+        self._dt = None
+        self._ret_sh = None
         need = 1 << max(int(len(gh)).bit_length(), 14)
         self._ensure_table(1)
         if self.table.capacity < need:
             self.table = st.grow(self.table, need)
         self.table = st.merge_counts(self._flushed(), gh, gc)
-        self.timer.stage(f"count[sharded x{cfg.n_shards}]: "
-                         f"{self.n_reads_counted} reads, {len(gh)} kmers")
+        self._filled_bound = int(np.asarray(self.table.n_filled))
 
     def histogram(self, max_count: int = 256) -> np.ndarray:
+        if self._dt is not None and self.table is None:
+            from .dist import sharded_sorted as DS
+            return DS.sorted_histogram(self._dt, max_count)
         t = self._flushed()
         return np.asarray(st.count_histogram(t.hashes, t.counts, max_count))
 
     def info(self, out=sys.stdout) -> None:
         hist = self.histogram()
-        t = self.table
         total = int(hist.sum())
-        out.write(f"table slots {t.capacity} kmers {int(np.asarray(t.n_filled))} "
-                  f"overflow {int(np.asarray(t.spilled))}\n")
+        if self._dt is not None and self.table is None:
+            from .dist import sharded_sorted as DS
+            dt = self._dt
+            slots = dt.n_shards * dt.capacity
+            nk = DS.host_sum(
+                dt, (dt.hashes != jnp.uint64(U64MAX)).astype(jnp.int64))
+            ov = DS.host_sum(dt, dt.spilled)
+            out.write(f"table slots {slots} kmers {nk} overflow {ov}\n")
+        else:
+            t = self.table
+            out.write(f"table slots {t.capacity} "
+                      f"kmers {int(np.asarray(t.n_filled))} "
+                      f"overflow {int(np.asarray(t.spilled))}\n")
         nz = np.nonzero(hist)[0]
         if len(nz):
             out.write(f"count range [{nz.min()}, {nz.max()}] distinct kmers {total}\n")
@@ -880,28 +1157,77 @@ class Engine:
         before = int(np.asarray(t.n_filled))
         self.table = st.prune(t, max_count + 1)
         after = int(np.asarray(self.table.n_filled))
+        self._filled_bound = after
         self.timer.stage(f"errorFix: dropped {before - after} kmers "
                          f"with count <= {max_count}")
 
     def filter(self, min_count: int = 0, max_count: int = 0) -> None:
-        """Keep "good" k-mers whose count lies in the band (SURVEY.md §3.1 #5)."""
+        """Keep "good" k-mers whose count lies in the band (SURVEY.md §3.1 #5).
+
+        Sharded runs filter SHARD-SIDE: the retained set stays device-sharded
+        (contiguous ascending value ranges, so local rank + shard offset IS
+        the canonical global k-mer id) and feeds the sharded incidence with no
+        gather; the host view materializes lazily on explicit commands."""
         lo = min_count or self.cfg.min_count
         hi = max_count or self.cfg.max_count
+        if self._dt is not None and self.table is None:
+            return self._filter_sharded(lo, hi)
         self.retained_hashes, self.retained_counts = st.compact(self._flushed(), lo, hi)
         self.timer.stage(f"filter [{lo},{hi}]: {len(self.retained_hashes)} kmers kept")
 
-    def _fused_pair_step(self, with_nmask: bool, use_kernel: bool,
-                         pad_n: int):
-        """One jit for the whole per-batch incidence pipeline: unpack, sketch,
-        retained-rank lookup, pair-key dedup, and append-buffer write — a
-        single dispatch per batch (the op-by-op path paid 4 dispatches per
-        batch through the relay/PCIe).  The retained set arrives as a
+    def _filter_sharded(self, lo: int, hi: int) -> None:
+        import functools
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dt = self._dt
+        mesh = dt.mesh
+        lo_u, hi_u = jnp.uint32(lo), jnp.uint32(hi)
+        u64max = jnp.uint64(U64MAX)
+
+        def keep_of(h, c):
+            return (h != u64max) & (c >= lo_u) & (c <= hi_u)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P("d"), P("d")), out_specs=P("d"))
+        def nsurv(h, c):
+            return jnp.sum(keep_of(h[0], c[0])).astype(jnp.int64)[None]
+
+        per = np.asarray(jax.jit(nsurv, out_shardings=NamedSharding(
+            mesh, P()))(dt.hashes, dt.counts))
+        # per-shard slices pad to one power-of-two width (few compiles);
+        # survivors <= capacity so Rpad <= capacity
+        Rpad = 1 << max(int(per.max(initial=0)) - 1, 1).bit_length()
+        Rpad = max(min(Rpad, dt.capacity), 1)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P("d"), P("d")),
+                           out_specs=(P("d"), P("d")))
+        def filt(h, c):
+            keep = keep_of(h[0], c[0])
+            hh = jnp.where(keep, h[0], u64max)
+            cc = jnp.where(keep, c[0], 0)
+            hh, cc = jax.lax.sort((hh, cc), dimension=0, num_keys=1)
+            return hh[:Rpad][None], cc[:Rpad][None]
+
+        rows, crows = jax.jit(filt)(dt.hashes, dt.counts)
+        off = np.concatenate([[0], np.cumsum(per)])[:-1].astype(np.int64)
+        self._ret_sh = (rows, crows, off, int(per.sum()))
+        self._retained_host = None
+        self._retained_counts_host = None
+        self.timer.stage(f"filter[sharded x{dt.n_shards}] [{lo},{hi}]: "
+                         f"{int(per.sum())} kmers kept")
+
+    def _fused_pair_scan(self, chunk_rows: int, nmask_w: int,
+                         use_kernel: bool, S: int, pad_n: int):
+        """S incidence batches per dispatch (see ``_fused_count_scan`` — the
+        relay's ~1.1 ms dispatch floor dominated per-batch loops): lax.scan
+        carves, unpacks, sketches, maps hashes to retained ranks, dedups pair
+        keys, and writes the append buffer.  The retained set arrives as a
         U64MAX-padded power-of-two argument so retained sizes bucket into few
         compiles."""
         cfg = self.cfg
-        key = ("pair_step", with_nmask, use_kernel, pad_n, cfg.batch_reads,
-               self._read_len, cfg.mode, cfg.modulus, cfg.syncmer_s,
-               cfg.kernel_compact)
+        key = ("pair_scan", chunk_rows, nmask_w, use_kernel, S, pad_n,
+               cfg.batch_reads, self._read_len, cfg.mode, cfg.modulus,
+               cfg.syncmer_s, cfg.kernel_compact)
         fn = self._step_cache.get(key)
         if fn is not None:
             return fn
@@ -913,54 +1239,81 @@ class Engine:
         P_true = read_len - spec.k + 1
         slots = self._dedup_slots(bsz, P_true, bsz * (C or P_true))
 
-        def core(buf, bufw, retained, nk_u, pk, ln, bc, nm, buf_n, over):
-            codes = unpack_2bit_jnp(pk, read_len, nm)
-            if use_kernel and C:
-                h, _, emit, ov = minimizer_pallas.sketch(
-                    spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
-                    syncmer_s=cfg.syncmer_s, compact_to=C)
-                over = over + jnp.sum(ov).astype(jnp.uint32)
-            elif use_kernel:
-                h, _, emit = minimizer_pallas.sketch(
-                    spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
-                    syncmer_s=cfg.syncmer_s)
-            else:
-                h, _, emit = seqhash_jnp.sketch(spec, codes, ln, mode=cfg.mode,
-                                                m=cfg.modulus,
-                                                syncmer_s=cfg.syncmer_s)
-            P = h.shape[1]
-            keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
-            flat_h = keyed.reshape(-1)
-            flat_bc = jnp.broadcast_to(bc[:, None], (bsz, P)).reshape(-1)
-            raw = pair_keys_jit(retained, flat_h, flat_bc, nk_u)
-            keys, _, o = st.dedup_weighted(raw, slots)
-            buf, bufw = st._buf_write.__wrapped__(buf, bufw, keys, buf_n)
-            return buf, bufw, over + o
+        def make_body(dp, dl, dc, dnm, retained, nk_u, buf_n):
+            def body(carry, xs):
+                buf, bufw, over = carry
+                off, m, i = xs
+                pk = jax.lax.dynamic_slice(
+                    dp, (off, jnp.int32(0)), (bsz, dp.shape[1]))
+                ln = jax.lax.dynamic_slice(dl, (off,), (bsz,))
+                bc = jax.lax.dynamic_slice(dc, (off,), (bsz,))
+                valid = jnp.arange(bsz, dtype=jnp.int32) < m
+                ln = jnp.where(valid, ln, 0)
+                bc = jnp.where(valid, bc, -1)
+                nm = None
+                if dnm is not None:
+                    nm = jax.lax.dynamic_slice(
+                        dnm, (off, jnp.int32(0)), (bsz, dnm.shape[1]))
+                    nm = jnp.where(valid[:, None], nm, 0)
+                codes = unpack_2bit_jnp(pk, read_len, nm)
+                if use_kernel and C:
+                    h, _, emit, ov = minimizer_pallas.sketch(
+                        spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
+                        syncmer_s=cfg.syncmer_s, compact_to=C)
+                    over = over + jnp.sum(ov).astype(jnp.uint32)
+                elif use_kernel:
+                    h, _, emit = minimizer_pallas.sketch(
+                        spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
+                        syncmer_s=cfg.syncmer_s)
+                else:
+                    h, _, emit = seqhash_jnp.sketch(
+                        spec, codes, ln, mode=cfg.mode, m=cfg.modulus,
+                        syncmer_s=cfg.syncmer_s)
+                Pp = h.shape[1]
+                keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
+                flat_h = keyed.reshape(-1)
+                flat_bc = jnp.broadcast_to(bc[:, None], (bsz, Pp)).reshape(-1)
+                raw = pair_keys_jit(retained, flat_h, flat_bc, nk_u)
+                keys, _, o = st.dedup_weighted(raw, slots)
+                wpos = buf_n + i * jnp.int32(slots)
+                buf, bufw = st._buf_write.__wrapped__(buf, bufw, keys, wpos)
+                return (buf, bufw, over + o), None
+            return body
 
-        if with_nmask:
-            def body(buf, bufw, retained, nk_u, pk, ln, bc, nm, buf_n, over):
-                return core(buf, bufw, retained, nk_u, pk, ln, bc, nm,
-                            buf_n, over)
+        if nmask_w:
+            def step(buf, bufw, retained, nk_u, dp, dl, dc, dnm, offs, ms,
+                     buf_n, over):
+                body = make_body(dp, dl, dc, dnm, retained, nk_u, buf_n)
+                (buf, bufw, over), _ = jax.lax.scan(
+                    body, (buf, bufw, over),
+                    (offs, ms, jnp.arange(S, dtype=jnp.int32)))
+                return buf, bufw, over
         else:
-            def body(buf, bufw, retained, nk_u, pk, ln, bc, buf_n, over):
-                return core(buf, bufw, retained, nk_u, pk, ln, bc, None,
-                            buf_n, over)
+            def step(buf, bufw, retained, nk_u, dp, dl, dc, offs, ms,
+                     buf_n, over):
+                body = make_body(dp, dl, dc, None, retained, nk_u, buf_n)
+                (buf, bufw, over), _ = jax.lax.scan(
+                    body, (buf, bufw, over),
+                    (offs, ms, jnp.arange(S, dtype=jnp.int32)))
+                return buf, bufw, over
 
-        fn = jax.jit(body, donate_argnums=(0, 1))
-        fn.n_appended = slots
+        fn = jax.jit(step, donate_argnums=(0, 1))
+        fn.n_appended = S * slots
+        fn.slots = slots
         self._step_cache[key] = fn
         return fn
 
     def incidence(self, fqb: Fqb, local_shard: bool = False) -> None:
         """Second pass: build the deduplicated k-mer x barcode incidence.
 
-        Device-resident end to end, one fused jit dispatch per batch: unpack,
-        sketch, retained-rank lookup into u64 pair keys, dedup, and append —
-        keys then dedup through the same LSM sorted-run machinery as the count
-        pass, and CSR assembly is vectorized searchsorted on device
-        (``incidence_from_sorted_pairs``).  With ``n_shards > 1`` the pass
-        distributes over the mesh (``_incidence_sharded``)."""
-        if self.retained_hashes is None:
+        Device-resident end to end, scan-fused dispatches of
+        ``flush_batches`` batches each: unpack, sketch, retained-rank lookup
+        into u64 pair keys, dedup, and append — keys then dedup through the
+        same LSM sorted-run machinery as the count pass, and CSR assembly is
+        vectorized searchsorted on device (``incidence_from_sorted_pairs``).
+        With ``n_shards > 1`` the pass distributes over the mesh
+        (``_incidence_sharded``)."""
+        if self._retained_host is None and self._ret_sh is None:
             self.filter()
         if self.cfg.n_shards > 1:
             return self._incidence_sharded(fqb, local_shard)
@@ -976,41 +1329,63 @@ class Engine:
         retained_d = jax.device_put(padded)
         nk_u = jnp.uint64(max(n_kmers, 1))
         pt = None
+        pt_bound = 0
         bsz = self.cfg.batch_reads
+        S = max(1, self.cfg.flush_batches)
         # group tags are irrelevant here: the pair table dedups globally
-        for packed, nmask, lengths, bcs, meta in self._batches(fqb):
-            gid, n_valid, has_short = meta
-            step = self._fused_pair_step(
-                nmask is not None,
-                self._kernel_ok((bsz, self._read_len), has_short,
-                                nmask is not None), pad_n)
-            n = step.n_appended
-            if pt is None:
-                cap = max(1 << self.cfg.table_bits,
-                          1 << (2 * n - 1).bit_length())
-                # buffer ~8 batches so flush_grow's per-flush sync amortizes
-                pt = st.make_sorted_table(cap, max(cap, 8 * n))
-            if pt.buf_n + n > pt.buf.shape[0]:
-                pt = st.flush_grow(pt)
-            args = (pt.buf, pt.bufw, retained_d, nk_u, packed, lengths, bcs)
-            if nmask is not None:
-                args = args + (nmask,)
-            buf, bufw, over = step(*args, jnp.int32(pt.buf_n),
-                                   self._cap_overflow)
-            pt = st.SortedTable(pt.hashes, pt.counts, buf, bufw,
-                                pt.buf_n + n, pt.spilled)
-            self._cap_overflow = over
-        if int(np.asarray(self._cap_overflow)):
-            raise RuntimeError(
-                "incidence batch pre-reduction overflowed its distinct-key "
-                "headroom (or a read's emissions exceeded the in-kernel "
-                "compaction width); raise emission_cap_factor or set "
-                "kernel_compact=False")
+        for dp, dl, dc, dnm, span_meta in self._chunks(fqb):
+            runs = []
+            for off, m, g, n_valid, has_short, has_n in span_meta:
+                uk = self._kernel_ok((bsz, self._read_len), has_short, has_n)
+                v = (uk, has_n)
+                if runs and runs[-1]["variant"] == v:
+                    runs[-1]["spans"].append((off, m))
+                else:
+                    runs.append({"variant": v, "spans": [(off, m)]})
+            for run in runs:
+                uk, has_n = run["variant"]
+                nmask_w = dnm.shape[1] if (has_n and dnm is not None) else 0
+                for i in range(0, len(run["spans"]), S):
+                    grp = run["spans"][i:i + S]
+                    S_use = 1 << max(len(grp) - 1, 0).bit_length()
+                    step = self._fused_pair_scan(dp.shape[0], nmask_w, uk,
+                                                 S_use, pad_n)
+                    offs = np.zeros(S_use, np.int32)
+                    ms = np.zeros(S_use, np.int32)
+                    for j, (off, m) in enumerate(grp):
+                        offs[j], ms[j] = off, m
+                    if pt is None:
+                        cap = max(1 << self.cfg.table_bits,
+                                  1 << (2 * step.slots - 1).bit_length())
+                        pt = st.make_sorted_table(
+                            cap, max(cap, step.n_appended))
+                    if pt.buf_n + step.n_appended > pt.buf.shape[0]:
+                        pt, pt_bound = self._flush_any(pt, pt_bound)
+                    args = (pt.buf, pt.bufw, retained_d, nk_u, dp, dl, dc)
+                    if nmask_w:
+                        args = args + (dnm,)
+                    buf, bufw, over = step(*args, jnp.asarray(offs),
+                                           jnp.asarray(ms),
+                                           jnp.int32(pt.buf_n),
+                                           self._cap_overflow)
+                    pt = st.SortedTable(pt.hashes, pt.counts, buf, bufw,
+                                        pt.buf_n + len(grp) * step.slots,
+                                        pt.spilled)
+                    self._cap_overflow = over
         if pt is None:
+            if int(np.asarray(self._cap_overflow)):
+                self._raise_pair_overflow()
             pair_keys = np.zeros(0, np.uint64)
         else:
-            pt = st.flush_grow(pt)
-            pair_keys, _ = st.compact(pt)
+            # final merge + overflow check in ONE device sync, then transfer
+            # exactly the surviving keys
+            h, _, n_real_d = st._merge_full(pt.hashes, pt.counts, pt.buf,
+                                            pt.bufw)
+            ov, n_real = (int(x) for x in
+                          jax.device_get((self._cap_overflow, n_real_d)))
+            if ov:
+                self._raise_pair_overflow()
+            pair_keys = np.asarray(h[:max(n_real, 0)])
         self.inc = incidence_from_sorted_pairs(
             pair_keys, n_kmers=n_kmers, n_codes=fqb.n_barcodes)
         self.timer.stage(f"incidence: {self.inc.n_pairs} pairs, "
@@ -1037,13 +1412,21 @@ class Engine:
             mesh = multihost.global_mesh(cfg.n_shards)
         else:
             mesh = D.make_mesh(cfg.n_shards)
-        n_kmers = len(self.retained_hashes)
+        if self._ret_sh is not None:
+            # zero-gather: the shard-side filtered retained rows feed the
+            # incidence directly (same value-range partition as the count
+            # table, so local rank + shard offset is the canonical global id)
+            rows, _, off, n_kmers = self._ret_sh
+            retained_kw = {"pair_retained_sharded": (rows, off, n_kmers)}
+        else:
+            n_kmers = len(self.retained_hashes)
+            retained_kw = {"pair_retained": self.retained_hashes}
         step = DS.make_sorted_count_step(
             cfg.spec, mesh, mode=cfg.mode, modulus=cfg.modulus,
             use_kernel=cfg.use_kernel, packed_read_len=fqb.read_len,
             count_mode="occurrences",
             emission_cap_factor=cfg.emission_cap_factor,
-            syncmer_s=cfg.syncmer_s, pair_retained=self.retained_hashes)
+            syncmer_s=cfg.syncmer_s, **retained_kw)
         width = step.recv_width(cfg.batch_reads, fqb.read_len)
         cap = max((1 << cfg.table_bits) // cfg.n_shards, 1 << 14)
         dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
@@ -1102,23 +1485,42 @@ class Engine:
             blocks = cfg.cluster_label_blocks
             if not blocks and self.inc.n_pairs > (1 << 28):
                 blocks = 1 << 26
-            self.clusters = cluster_codes_sparse_dist(
+            self.cluster_labels = cluster_codes_sparse_dist(
                 self.inc, mesh, min_friend_share=cfg.min_friend_share,
-                label_block_pairs=blocks)
+                label_block_pairs=blocks, flat=True)
         else:
-            self.clusters = cooccur.cluster_codes(
+            self.cluster_labels = cooccur.cluster_codes(
                 self.inc, min_share=min_share or cfg.min_share,
                 mode=cfg.cluster_mode,
                 min_friend_share=cfg.min_friend_share,
-                max_friends=cfg.max_friends)
-        n_cl = sum(int(c.max()) + 1 if len(c) else 0 for c in self.clusters)
+                max_friends=cfg.max_friends, flat=True)
+        # molecule count = distinct (code, label) pairs, vectorized (a per-code
+        # max loop was O(n_codes) host work)
+        if self.inc.n_pairs:
+            from .utils.dense import device_unique
+            flat = self.cluster_labels.astype(np.int64)
+            K = int(flat.max()) + 1
+            n_cl = len(device_unique(self._code_of_pair() * K + flat))
+        else:
+            n_cl = 0
         self.timer.stage(f"cluster: {n_cl} molecules over {self.inc.n_codes} codes")
+
+    @property
+    def clusters(self) -> Optional[List[np.ndarray]]:
+        """Per-code label views (compat surface; storage is the flat array)."""
+        if self.cluster_labels is None:
+            return None
+        if self.inc is None or self.inc.n_pairs == 0:
+            return [np.zeros(0, np.int32)] * (self.inc.n_codes if self.inc else 0)
+        offs = self.inc.code_offsets
+        flat = self.cluster_labels
+        return [flat[offs[c]:offs[c + 1]] for c in range(self.inc.n_codes)]
 
     def _cluster_flat(self) -> np.ndarray:
         """Cluster labels as one flat array aligned with inc.code_kmers."""
         if self.inc.n_pairs == 0:
             return np.zeros(0, np.int32)
-        return np.concatenate(self.clusters)
+        return self.cluster_labels
 
     def _code_of_pair(self) -> np.ndarray:
         inc = self.inc
@@ -1132,7 +1534,7 @@ class Engine:
         code ids are the dense ranks of distinct (code, label) pairs in
         (code, label)-ascending order, exactly the oracle's ``split_codes``
         numbering."""
-        if self.clusters is None:
+        if self.cluster_labels is None:
             raise RuntimeError("split requires clusters")
         inc = self.inc
         flat = self._cluster_flat().astype(np.int64)
@@ -1169,7 +1571,7 @@ class Engine:
         """Dump cluster assignments: one line per (code, kmer hash, cluster).
         Columns are precomputed vectorized; only the final text join touches
         Python per line."""
-        if self.clusters is None:
+        if self.cluster_labels is None:
             raise RuntimeError("write_clusters requires clusters")
         rh = self.retained_hashes
         codes = self._code_of_pair()
@@ -1183,7 +1585,7 @@ class Engine:
         """Cluster report (``--clusterReport``): diffable text.  All counts are
         computed vectorized over the flat label array (the per-code Python loop
         was O(n_codes) numpy calls — minutes at 1M codes)."""
-        if self.clusters is None:
+        if self.cluster_labels is None:
             raise RuntimeError("report requires clusters")
         inc = self.inc
         n_kmers_per_code = np.diff(inc.code_offsets)
@@ -1201,15 +1603,20 @@ class Engine:
             cluster_sizes = np.zeros(0, np.int64)
             cl_code = np.zeros(0, np.int64)
             n_clusters = np.zeros(inc.n_codes, np.int64)
-        cl_starts = np.concatenate([[0], np.cumsum(n_clusters)])
+        cl_starts = np.concatenate([[0], np.cumsum(n_clusters)]).tolist()
         sizes_list = cluster_sizes.tolist()
-        lines = []
-        for c in range(inc.n_codes):
-            a, b = cl_starts[c], cl_starts[c + 1]
-            lines.append(
-                f"code {c} nKmers {n_kmers_per_code[c]} nClusters "
-                f"{n_clusters[c]} sizes {','.join(map(str, sizes_list[a:b]))}\n")
-        out.write("".join(lines))
+        nk_list = n_kmers_per_code.tolist()
+        ncl_list = (n_clusters.tolist() if len(n_clusters)
+                    else [0] * inc.n_codes)
+        # stream in bounded chunks: the whole report is O(n_codes) text and
+        # must never sit in memory twice at 1M+ codes
+        CHUNK = 1 << 16
+        for c0 in range(0, inc.n_codes, CHUNK):
+            c1 = min(c0 + CHUNK, inc.n_codes)
+            out.write("".join(
+                f"code {c} nKmers {nk_list[c]} nClusters {ncl_list[c]} sizes "
+                f"{','.join(map(str, sizes_list[cl_starts[c]:cl_starts[c + 1]]))}\n"
+                for c in range(c0, c1)))
 
     # -- checkpoint / resume (the .hash file analog, SURVEY.md §3.1 #11) -----------
 
@@ -1234,10 +1641,10 @@ class Engine:
                          inc_kmer_offsets=self.inc.kmer_offsets,
                          inc_kmer_codes=self.inc.kmer_codes)
             meta["inc_shape"] = [self.inc.n_kmers, self.inc.n_codes]
-        if self.clusters is not None:
-            # labels align with inc.code_kmers (per-code arrays in code order)
+        if self.cluster_labels is not None:
+            # labels align with inc.code_kmers (flat, code order)
             parts["cluster_labels"] = (
-                np.concatenate(self.clusters) if self.inc.n_pairs
+                self.cluster_labels if self.inc.n_pairs
                 else np.zeros(0, np.int32))
         if self.split_inc is not None:
             parts.update(split_code_offsets=self.split_inc.code_offsets,
@@ -1266,6 +1673,7 @@ class Engine:
         if self.table.capacity < cap:
             self.table = st.grow(self.table, cap)
         self.table = st.merge_counts(self._flushed(), z["hashes"], z["counts"])
+        self._filled_bound = int(np.asarray(self.table.n_filled))
         if int(np.asarray(self.table.spilled)):
             raise RuntimeError("table spilled on load; raise --tableBits")
         self.n_reads_counted = meta["n_reads"]
@@ -1274,7 +1682,7 @@ class Engine:
             z["retained_counts"] if "retained_counts" in z
             and len(z["retained_counts"]) else None)
         self.inc = None
-        self.clusters = None
+        self.cluster_labels = None
         self.split_inc = None
         self.split_origin = None
         if "inc_code_offsets" in z:
@@ -1283,10 +1691,7 @@ class Engine:
                                  z["inc_code_kmers"], z["inc_kmer_offsets"],
                                  z["inc_kmer_codes"])
         if "cluster_labels" in z and self.inc is not None:
-            flat = z["cluster_labels"]
-            self.clusters = [
-                flat[self.inc.code_offsets[c]:self.inc.code_offsets[c + 1]]
-                for c in range(self.inc.n_codes)]
+            self.cluster_labels = z["cluster_labels"]
         if "split_code_offsets" in z:
             nk, nc = meta["split_shape"]
             self.split_inc = Incidence(nk, nc, z["split_code_offsets"],
@@ -1296,4 +1701,5 @@ class Engine:
             self.split_origin = z["split_origin"]
         self.timer.stage(f"load: {len(z['hashes'])} kmers"
                          + (f", {self.inc.n_pairs} pairs" if self.inc else "")
-                         + (", clusters" if self.clusters else ""))
+                         + (", clusters" if self.cluster_labels is not None
+                            else ""))

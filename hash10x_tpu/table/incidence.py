@@ -32,7 +32,10 @@ from ..hashspec import U64MAX
 __all__ = ["Incidence", "build_incidence", "incidence_from_sorted_pairs",
            "pair_keys_jit", "retained_lookup"]
 
-_U64MAX = jnp.uint64(U64MAX)
+# numpy scalar, NOT jnp: a module-level jnp array is a DEVICE constant
+# that jit captures and must fetch at lowering time (hangs through the
+# relay, and forces backend init at import); np scalars lower as literals
+_U64MAX = np.uint64(U64MAX)
 
 
 @dataclass

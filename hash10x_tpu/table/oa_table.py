@@ -35,7 +35,10 @@ from ..hashspec import U64MAX
 __all__ = ["KmerTable", "make_table", "pre_aggregate", "insert", "lookup",
            "count_histogram", "compact"]
 
-_U64MAX = jnp.uint64(U64MAX)
+# numpy scalar, NOT jnp: a module-level jnp array is a DEVICE constant
+# that jit captures and must fetch at lowering time (hangs through the
+# relay, and forces backend init at import); np scalars lower as literals
+_U64MAX = np.uint64(U64MAX)
 
 
 @jax.tree_util.register_pytree_node_class

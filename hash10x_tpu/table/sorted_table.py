@@ -43,7 +43,10 @@ __all__ = ["SortedTable", "make_sorted_table", "append", "append_pairs",
            "flush", "flush_grow", "count_histogram", "compact", "lookup_ids",
            "dedup_weighted", "dedup_pairs_weighted"]
 
-_U64MAX = jnp.uint64(U64MAX)
+# numpy scalar, NOT jnp: a module-level jnp array is a DEVICE constant
+# that jit captures and must fetch at lowering time (hangs through the
+# relay, and forces backend init at import); np scalars lower as literals
+_U64MAX = np.uint64(U64MAX)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -176,15 +179,18 @@ def _take_cap(h, w, cap: int):
             jnp.concatenate([w, jnp.zeros((cap - n,), jnp.uint32)]))
 
 
-def flush_grow(t: SortedTable, load: float = 0.6) -> SortedTable:
+def flush_grow(t: SortedTable, load: float = 0.6, return_count: bool = False):
     """Flush with automatic capacity adoption: the merge runs at full
     (capacity + buffer) width so it can NEVER spill, then the table re-homes at
     the power-of-two capacity that keeps occupancy under ``load``.  Costs one
-    host sync per flush (the true fill count) — callers size the buffer large
-    so flushes are rare.  This removes table_bits tuning: capacity follows the
-    data."""
+    host sync per flush (the true fill count) — steady-state callers avoid it
+    by tracking a host-side occupancy UPPER BOUND and calling the sync-free
+    ``flush`` while the bound stays under ``load`` (engine._flush_table).
+    This removes table_bits tuning: capacity follows the data.
+    ``return_count=True`` additionally returns the exact fill count the sync
+    already paid for (callers refresh their bound with it)."""
     if t.buf_n == 0:
-        return t
+        return (t, int(np.asarray(t.n_filled))) if return_count else t
     h, w, n_real_d = _merge_full(t.hashes, t.counts, t.buf, t.bufw)
     n_real = int(np.asarray(n_real_d))  # one sync per flush (rare by sizing)
     new_cap = t.capacity
@@ -192,7 +198,8 @@ def flush_grow(t: SortedTable, load: float = 0.6) -> SortedTable:
         new_cap *= 2
     nh, nw = _take_cap(h, w, new_cap)
     fb, fw = _fresh_buf(t.buf, t.bufw)
-    return SortedTable(nh, nw, fb, fw, 0, t.spilled)
+    res = SortedTable(nh, nw, fb, fw, 0, t.spilled)
+    return (res, n_real) if return_count else res
 
 
 def merge_counts(t: SortedTable, other_h, other_w) -> SortedTable:

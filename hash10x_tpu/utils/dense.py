@@ -44,7 +44,8 @@ def device_unique(values: np.ndarray, return_counts: bool = False):
         # the boolean compress below (an int64 reverse-cummin counts variant
         # on device SIGSEGVed the TPU compiler; positions are cheaper anyway)
         pos = np.flatnonzero(is_new)
-        return s[pos], np.diff(np.append(pos, len(s)))
+        return s[pos], np.diff(np.append(pos, len(s))).astype(np.int64,
+                                                              copy=False)
     return s[is_new]
 
 

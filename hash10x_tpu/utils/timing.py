@@ -25,6 +25,14 @@ class StageTimer:
         self._last_ru = resource.getrusage(resource.RUSAGE_SELF)
         self._t0 = self._last_wall
 
+    @property
+    def enabled(self) -> bool:
+        """Whether any sink consumes stage lines — callers gate expensive
+        stage METADATA (device fetches, collectives) on this so a silenced
+        timer costs zero device syncs.  Must be uniform across processes in
+        multi-process runs (collective metadata would deadlock otherwise)."""
+        return self.log is not None or self.jsonl is not None
+
     @staticmethod
     def _hbm_mb():
         """Device bytes_in_use in MB, or None where the backend lacks

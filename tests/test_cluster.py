@@ -183,18 +183,24 @@ def test_friend_uncapped_matches_oracle(rng, thr, density):
         assert got[c].tolist() == expect[c], f"code {c}"
 
 
-def test_oversized_barcode_sharded_fails_fast():
-    """The SHARDED count path dedups (hash, barcode) per step only, so a
-    barcode spanning batches must raise there, never silently undercount.
-    (The single-device path handles oversized barcodes exactly —
-    tests/test_oversized.py.)"""
-    import pytest as _pytest
+def test_oversized_barcode_sharded_counts_exact():
+    """A barcode spanning batches must count EXACTLY on the sharded path
+    (the round-2 fail-fast was replaced by a side sharded dedup table —
+    see also tests/test_oversized.py::test_oversized_barcode_sharded_*)."""
     sim = simulate(SimConfig(genome_len=30000, n_barcodes=2,
                              molecules_per_barcode=1, molecule_len=5000,
                              reads_per_molecule=300, read_len=100, seed=3))
     fqb = FB.from_read_batch(sim.reads)
-    eng = Engine(EngineConfig(spec=HashSpec(k=17, w=5, seed=17), table_bits=18,
-                              batch_reads=256, count_mode="barcodes",
-                              n_shards=2), log=None)
-    with _pytest.raises(RuntimeError, match="more reads than"):
-        eng.count(fqb)
+    single = Engine(EngineConfig(spec=HashSpec(k=17, w=5, seed=17),
+                                 table_bits=18, batch_reads=256,
+                                 count_mode="barcodes"), log=None)
+    single.count(fqb)
+    sharded = Engine(EngineConfig(spec=HashSpec(k=17, w=5, seed=17),
+                                  table_bits=18, batch_reads=256,
+                                  count_mode="barcodes", n_shards=2),
+                     log=None)
+    sharded.count(fqb)
+    import hash10x_tpu.table.sorted_table as _st
+    hs, cs = _st.compact(single._flushed())
+    hh, ch = _st.compact(sharded._flushed())
+    assert hs.tolist() == hh.tolist() and cs.tolist() == ch.tolist()
