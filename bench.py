@@ -323,7 +323,9 @@ def bench_sharded(reads):
                            batch_reads=BATCH, n_shards=1)
         eng = Engine(cfg, log=None)
         t0 = time.monotonic()
-        eng.count(fqb)
+        # n_shards=1 takes the plain path in Engine.count; drive the sharded
+        # step directly so this point measures the routing machinery itself
+        eng._count_sharded(fqb)
         device_sync(eng._dt.hashes)
         return time.monotonic() - t0
 
@@ -358,7 +360,10 @@ def shards_curve_child():
         def run():
             eng = Engine(cfg, log=None)
             t0 = time.monotonic()
-            eng.count(fqb)
+            # n_shards=1 takes the plain path in Engine.count; drive the
+            # sharded step directly so every curve point measures the same
+            # routing machinery
+            eng._count_sharded(fqb)
             jax.block_until_ready(eng._dt.hashes)
             nk = int(np.asarray(
                 (eng._dt.hashes != np.uint64(2 ** 64 - 1)).sum()))

@@ -44,7 +44,11 @@ Commands (executed in order):
   --hashDist           count histogram to stdout
   --writeHash <out>    save table checkpoint
   --readHash <in>      load table checkpoint
-  --errorFix <max>     drop error-band k-mers with count <= max
+  --errorFix <max>     drop error-band k-mers with count <= max; with
+                       --errorFixReads and loaded reads (barcodes mode),
+                       error-band k-mers occurring in >= that many reads are
+                       rescued (barcode-context reading of SURVEY §3.1 #12)
+  --errorFixReads <m>  rescue threshold for --errorFix (0 = drop-only)
   --writeCounts <f>    dump (hash, count) table as text (diffable vs oracle)
   --writeClusters <f>  dump (code, kmer hash, cluster) assignments as text
   --metrics <file>     append per-command JSONL metrics
@@ -125,6 +129,7 @@ class _State:
         self.syncmer_s = 0
         self.n_shards = 1
         self.label_blocks = 0
+        self.error_fix_min_reads = 0
         self.metrics_path = None
         self.device_mem = False
         self.engine: Optional[Engine] = None
@@ -142,7 +147,8 @@ class _State:
                 cluster_mode=self.cluster_mode, min_share=self.min_share,
                 min_friend_share=self.min_friend_share, syncmer_s=self.syncmer_s,
                 max_friends=self.max_friends, n_shards=self.n_shards,
-                cluster_label_blocks=self.label_blocks)
+                cluster_label_blocks=self.label_blocks,
+                error_fix_min_reads=self.error_fix_min_reads)
             self.engine = Engine(cfg, log=self.err)
             if self.metrics_path or self.device_mem:
                 from ..utils.timing import StageTimer
@@ -161,6 +167,7 @@ class _State:
             cfg.max_friends = self.max_friends
             cfg.cluster_mode = self.cluster_mode
             cfg.batch_reads = self.batch_reads
+            cfg.error_fix_min_reads = self.error_fix_min_reads
         return self.engine
 
     def param_change_guard(self):
@@ -256,6 +263,8 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
             st.engine = None
         elif a == "--labelBlocks":
             st.label_blocks = int(need(1, a)[0])
+        elif a == "--errorFixReads":
+            st.error_fix_min_reads = int(need(1, a)[0])
         elif a == "--metrics":
             st.metrics_path = need(1, a)[0]
         elif a == "--devMem":
@@ -313,7 +322,7 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         elif a == "--readHash":
             st.get_engine().load(need(1, a)[0])
         elif a == "--errorFix":
-            st.get_engine().error_fix(int(need(1, a)[0]))
+            st.get_engine().error_fix(int(need(1, a)[0]), fqb=st.fqb)
         elif a == "--writeCounts":
             path = need(1, a)[0]
             eng = st.get_engine()

@@ -101,6 +101,14 @@ class EngineConfig:
     cluster_label_blocks: int = 0    # >0: distributed clustering propagates
                                      # labels in barcode-aligned blocks of ~n
                                      # pairs (config-#5 memory path)
+    error_fix_min_reads: int = 0     # >0 (barcodes mode): error_fix rescues
+                                     # error-band k-mers whose raw occurrence
+                                     # count across the lane's reads is >= n
+                                     # (sequencing errors are read-unique;
+                                     # real low-coverage k-mers recur within
+                                     # their molecule's reads) — the
+                                     # barcode-context reading of SURVEY.md
+                                     # §3.1 #12; 0 = drop-only
 
 
 class Engine:
@@ -122,6 +130,8 @@ class Engine:
         self.split_origin: Optional[np.ndarray] = None
         self.n_reads_counted = 0
         self._read_len = 0
+        self._filled_bound = 0
+        self._pending_nreal = None  # async exact-fill scalar (see _flush_any)
         self._cap_overflow = jnp.zeros((), jnp.uint32)
         self._step_cache = {}
         self._chunk_cache = {}
@@ -142,6 +152,7 @@ class Engine:
         self.split_origin = None
         self.n_reads_counted = 0
         self._filled_bound = 0
+        self._pending_nreal = None
         self._cap_overflow = jnp.zeros((), jnp.uint32)
 
     # -- retained set (host view is lazy; sharded runs keep it on device) ----------
@@ -598,21 +609,35 @@ class Engine:
             self.table = st.make_sorted_table(cap, buf_cap)
 
     def _flush_any(self, t: "st.SortedTable", bound: int, load: float = 0.6):
-        """Flush ``t``, keeping the pipeline ASYNC in the steady state: while
-        the host-side occupancy upper bound (filled-so-far + buffered — a
-        merge can only produce fewer distinct keys) stays under ``load`` of
-        capacity, the sync-free ``st.flush`` provably cannot spill; only when
-        the bound crosses ``load`` does ``st.flush_grow`` pay its host sync
-        to adopt capacity and refresh the exact bound.  The per-flush sync
-        (~30-50 ms through the relay) serialized the whole count pass when
-        every flush grew.  Returns (table, new_bound)."""
-        if bound + t.buf_n <= load * t.capacity:
-            return st.flush(t), bound + t.buf_n
-        return st.flush_grow(t, load=load, return_count=True)
+        """Flush ``t`` without EVER blocking the pipeline: the sliced flush
+        (st.flush_sliced) merges only pow2(fill) table slots with pow2(buf_n)
+        buffer slots — sort volume tracks the data, not the capacity — grows
+        capacity by pad-concat when needed (no spill possible), and returns
+        the exact new fill as a DEVICE scalar.  We fetch it asynchronously
+        and consume it at the NEXT flush (the table only changes at flushes,
+        so a one-flush-stale exact count IS the current fill); until it
+        lands, bound advances loosely by buf_n.  The previous design's
+        blocking per-flush host sync (st.flush_grow) measured 30-50 ms
+        through the relay and dominated small-lane count walls.
+        Returns (table, new_loose_bound)."""
+        if self._pending_nreal is not None:
+            # exact fill after the previous flush — ready by now (later
+            # dispatches were enqueued behind it), so this is ~one readback
+            bound = int(np.asarray(self._pending_nreal))
+            self._pending_nreal = None
+        buffered = t.buf_n
+        t, n_real_d = st.flush_sliced(t, bound)
+        if n_real_d is not None:
+            try:
+                n_real_d.copy_to_host_async()
+            except AttributeError:  # older jax.Array without the method
+                pass
+            self._pending_nreal = n_real_d
+        return t, bound + buffered
 
     def _pre_append(self, n: int) -> None:
-        """Make room for n more buffered entries (see _flush_any: sync-free
-        while the occupancy bound allows, capacity adoption otherwise)."""
+        """Make room for n more buffered entries (see _flush_any: sliced
+        sync-free flush with an async exact-fill refresh)."""
         t = self.table
         if t.buf_n + n > t.buf.shape[0]:
             self.table, self._filled_bound = self._flush_any(
@@ -633,6 +658,7 @@ class Engine:
             self._ensure_table(1)
         self.table, self._filled_bound = st.flush_grow(self.table,
                                                        return_count=True)
+        self._pending_nreal = None  # exact refresh supersedes any pending
         return self.table
 
     # -- commands ------------------------------------------------------------------
@@ -891,7 +917,16 @@ class Engine:
             if int(np.asarray(self._cap_overflow)):
                 self._raise_cap_overflow()
             return
-        h, w, n_real_d = st._merge_full(t.hashes, t.counts, t.buf, t.bufw)
+        if self._pending_nreal is not None:
+            self._filled_bound = int(np.asarray(self._pending_nreal))
+            self._pending_nreal = None
+        # fill-proportional final merge (same slicing rule as st.flush_sliced:
+        # the bound is exact or a safe overestimate, so all real keys are in
+        # the first b1 slots; pads beyond contribute nothing)
+        b1 = min(st._pow2ceil(max(self._filled_bound, 1)), t.capacity)
+        b2 = min(st._pow2ceil(max(t.buf_n, 1)), t.buf.shape[0])
+        h, w, n_real_d = st._merge_full(t.hashes[:b1], t.counts[:b1],
+                                        t.buf[:b2], t.bufw[:b2])
         ov, n_real = (int(x) for x in
                       jax.device_get((self._cap_overflow, n_real_d)))
         if ov:
@@ -903,6 +938,7 @@ class Engine:
         fb, fw = st._fresh_buf(t.buf, t.bufw)
         self.table = st.SortedTable(nh, nw, fb, fw, 0, t.spilled)
         self._filled_bound = n_real
+        self._pending_nreal = None
 
     def _raise_cap_overflow(self):
         raise RuntimeError(
@@ -1145,21 +1181,68 @@ class Engine:
         for c in np.nonzero(hist)[0]:
             out.write(f"{c}\t{int(hist[c])}\n")
 
-    def error_fix(self, max_count: int = 1) -> None:
-        """Drop error-band k-mers (count <= max_count) from the table.
+    def _occurrence_counts(self, fqb: Fqb):
+        """Sorted (hashes, raw occurrence counts) of the lane under the
+        current sketch params — a second streaming pass that reuses the
+        device-resident chunk cache and compiled steps (the step cache keys
+        include count_mode), leaving the engine's analysis state untouched."""
+        saved = (self.table, self._dt, self._ret_sh, self._filled_bound,
+                 self._pending_nreal, self._cap_overflow,
+                 self.n_reads_counted)
+        cm = self.cfg.count_mode
+        self.table = None
+        self._dt = None
+        self._ret_sh = None
+        self._filled_bound = 0
+        self._pending_nreal = None
+        self._cap_overflow = jnp.zeros((), jnp.uint32)
+        try:
+            self.cfg.count_mode = "occurrences"
+            self.count(fqb)
+            occ_h, occ_c = st.compact(self._flushed())
+        finally:
+            self.cfg.count_mode = cm
+            (self.table, self._dt, self._ret_sh, self._filled_bound,
+             self._pending_nreal, self._cap_overflow,
+             self.n_reads_counted) = saved
+        return occ_h, occ_c
 
-        Reconstructed-minimal model of the reference's optional errorFix
-        (SURVEY.md §3.1 #12, [L] confidence): the table stores only hash values,
-        which the multiplicative mix makes non-invertible, so neighbor-based
-        re-assignment is impossible for the reference too — deleting the error
-        band is the implementable semantic."""
+    def error_fix(self, max_count: int = 1, fqb: Optional[Fqb] = None,
+                  min_reads: int = 0) -> None:
+        """Error-band correction (SURVEY.md §3.1 #12, [L] confidence).
+
+        Base semantic (reconstructed-minimal): drop k-mers with count <=
+        max_count.  The table stores only hash values, which the
+        multiplicative mix makes non-invertible, so neighbor-based base
+        repair is impossible for the reference too.
+
+        Barcode-context rescue (the "using barcode context" reading of the
+        survey row; ``min_reads > 0`` + reads, barcodes count mode): an
+        error-band k-mer there is one seen in a single GEM barcode.  A
+        sequencing-error k-mer is almost always also READ-unique, while a
+        real low-coverage/het k-mer recurs across its molecule's reads — so
+        a second pass counts raw occurrences, and error-band k-mers with
+        >= min_reads occurrences are rescued (kept).  Deterministic,
+        order-free, device-resident; the rescue predicate is swappable the
+        moment the reference's actual rule is readable."""
+        min_reads = min_reads or self.cfg.error_fix_min_reads
         t = self._flushed()
         before = int(np.asarray(t.n_filled))
-        self.table = st.prune(t, max_count + 1)
+        rescued = 0
+        if min_reads > 0 and fqb is not None \
+                and self.cfg.count_mode == "barcodes":
+            occ_h, occ_c = self._occurrence_counts(fqb)
+            self.table, rescued = st.prune_rescue(
+                self._flushed(), occ_h, occ_c, max_count, min_reads)
+        else:
+            self.table = st.prune(t, max_count + 1)
         after = int(np.asarray(self.table.n_filled))
         self._filled_bound = after
-        self.timer.stage(f"errorFix: dropped {before - after} kmers "
-                         f"with count <= {max_count}")
+        self._pending_nreal = None
+        self.timer.stage(
+            f"errorFix: dropped {before - after} kmers with count <= "
+            f"{max_count}" + (f", rescued {rescued} with >= {min_reads} "
+                              "occurrences" if rescued else ""))
 
     def filter(self, min_count: int = 0, max_count: int = 0) -> None:
         """Keep "good" k-mers whose count lies in the band (SURVEY.md §3.1 #5).

@@ -40,8 +40,8 @@ import numpy as np
 from ..hashspec import U64MAX
 
 __all__ = ["SortedTable", "make_sorted_table", "append", "append_pairs",
-           "flush", "flush_grow", "count_histogram", "compact", "lookup_ids",
-           "dedup_weighted", "dedup_pairs_weighted"]
+           "flush", "flush_grow", "flush_sliced", "count_histogram", "compact",
+           "lookup_ids", "dedup_weighted", "dedup_pairs_weighted"]
 
 # numpy scalar, NOT jnp: a module-level jnp array is a DEVICE constant
 # that jit captures and must fetch at lowering time (hangs through the
@@ -146,6 +146,66 @@ def flush(t: SortedTable) -> SortedTable:
     h, c, spilled_now = _merge_impl(t.hashes, t.counts, t.buf, t.bufw)
     fb, fw = _fresh_buf(t.buf, t.bufw)
     return SortedTable(h, c, fb, fw, 0, t.spilled + spilled_now)
+
+
+@functools.partial(jax.jit, static_argnames=("b1", "b2"),
+                   donate_argnums=(0, 1))
+def _merge_sliced(hashes, counts, buf, bufw, b1: int, b2: int):
+    """Fill-proportional flush merge: sort only the table's first ``b1`` slots
+    (ALL real keys live there — the table is ascending with U64MAX pads at the
+    end, and callers pass b1 >= the exact fill after the previous flush) with
+    the buffer's first ``b2`` slots (>= buf_n), then write the merged run back
+    over ``table[:b1+b2]`` — positions past b1+b2 were pads and stay pads, so
+    the full-width table remains globally sorted.  Sort volume is ~pow2(fill)
+    instead of capacity+buffer (a mostly-empty 4M-slot table paid full-width
+    bitonic passes on pads).  Requires capacity >= b1+b2 (host-checked; grow
+    is a pad-concat).  Returns (hashes', counts', n_real) with n_real a DEVICE
+    scalar — callers fetch it asynchronously so the count loop never blocks
+    (the blocking per-flush host sync measured 30-50 ms through the relay and
+    dominated small-lane count walls)."""
+    all_h = jnp.concatenate([hashes[:b1], buf[:b2]])
+    all_w = jnp.concatenate([counts[:b1], bufw[:b2].astype(jnp.uint32)])
+    all_h, all_w = jax.lax.sort((all_h, all_w), dimension=0, num_keys=1)
+    is_last = jnp.concatenate([all_h[:-1] != all_h[1:], jnp.ones((1,), bool)])
+    c = jnp.cumsum(all_w.astype(jnp.uint64))
+    boundary = jnp.where(is_last, c, 0)
+    prev_boundary = jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint64), jax.lax.cummax(boundary)[:-1]])
+    seg_sum = (c - prev_boundary).astype(jnp.uint32)
+    keep = is_last & (all_h != _U64MAX)
+    uniq_h = jnp.where(keep, all_h, _U64MAX)
+    uniq_w = jnp.where(keep, seg_sum, 0)
+    uniq_h, uniq_w = jax.lax.sort((uniq_h, uniq_w), dimension=0, num_keys=1)
+    n_real = jnp.sum(keep).astype(jnp.int64)
+    h2 = jax.lax.dynamic_update_slice(hashes, uniq_h, (0,))
+    c2 = jax.lax.dynamic_update_slice(counts, uniq_w, (0,))
+    return h2, c2, n_real
+
+
+def _pow2ceil(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def flush_sliced(t: SortedTable, fill_bound: int):
+    """Sliced, never-spilling, sync-free flush for the count hot loop.
+
+    ``fill_bound`` must be >= the table's true fill (exact one-flush-stale
+    counts qualify: the table only changes at flushes, so the previous
+    flush's n_real IS the current fill).  Capacity grows by pad-concat when
+    the merged run wouldn't fit — no host sync, no spill, ever.  Returns
+    (table', n_real_device_scalar | None); callers may fetch n_real
+    asynchronously to refresh their bound."""
+    if t.buf_n == 0:
+        return t, None
+    b1 = min(_pow2ceil(max(fill_bound, 1)), t.capacity)
+    b2 = min(_pow2ceil(t.buf_n), t.buf.shape[0])
+    hashes, counts = t.hashes, t.counts
+    if b1 + b2 > t.capacity:
+        new_cap = _pow2ceil(b1 + b2)
+        hashes, counts = _take_cap(hashes, counts, new_cap)
+    h, c, n_real_d = _merge_sliced(hashes, counts, t.buf, t.bufw, b1, b2)
+    fb, fw = _fresh_buf(t.buf, t.bufw)
+    return SortedTable(h, c, fb, fw, 0, t.spilled), n_real_d
 
 
 @jax.jit
@@ -336,6 +396,38 @@ def prune(t: SortedTable, min_count: int) -> SortedTable:
         raise ValueError("prune requires a flushed table")
     h, c = _prune_impl(t.hashes, t.counts, jnp.uint32(min_count))
     return SortedTable(h, c, t.buf, t.bufw, 0, t.spilled)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _prune_rescue_impl(hashes, counts, occ_h, occ_c, max_count, min_reads):
+    idx = jnp.searchsorted(occ_h, hashes)
+    idx_c = jnp.minimum(idx, jnp.maximum(occ_h.shape[0] - 1, 0))
+    occ = jnp.where((hashes != _U64MAX) & (occ_h[idx_c] == hashes),
+                    occ_c[idx_c], 0)
+    keep = (counts > max_count) | ((counts > 0) & (occ >= min_reads))
+    n_rescued = jnp.sum(keep & (counts <= max_count) & (counts > 0))
+    h = jnp.where(keep, hashes, _U64MAX)
+    c = jnp.where(keep, counts, 0)
+    h, c = jax.lax.sort((h, c), dimension=0, num_keys=1)
+    return h, c, n_rescued
+
+
+def prune_rescue(t: SortedTable, occ_h, occ_c, max_count: int,
+                 min_reads: int) -> Tuple[SortedTable, int]:
+    """Error-band prune with occurrence-context rescue (engine.error_fix):
+    drop k-mers with count <= max_count UNLESS their raw occurrence count
+    (``occ_h``/``occ_c``, sorted) is >= min_reads.  Returns (table,
+    n_rescued).  Flush first (move semantics)."""
+    if t.buf_n:
+        raise ValueError("prune_rescue requires a flushed table")
+    if np.asarray(occ_h).shape[0] == 0:  # nothing can be rescued
+        return prune(t, max_count + 1), 0
+    h, c, n_resc = _prune_rescue_impl(
+        t.hashes, t.counts, jnp.asarray(occ_h, jnp.uint64),
+        jnp.asarray(occ_c, jnp.uint32), jnp.uint32(max_count),
+        jnp.uint32(min_reads))
+    return (SortedTable(h, c, t.buf, t.bufw, 0, t.spilled),
+            int(np.asarray(n_resc)))
 
 
 @jax.jit

@@ -60,6 +60,25 @@ def test_engine_compaction_overflow_raises(rng, monkeypatch):
         eng.count(fqb)
 
 
+def test_fresh_engine_flush_path(rng):
+    """A fresh Engine (no reset()) must survive a lane large enough to fill
+    the append buffer and flush — regression: _filled_bound was only set in
+    reset(), so the first flush of a fresh engine raised AttributeError
+    (small test lanes never flushed, which hid it; bench's 800k-read
+    barcodes lane crashed)."""
+    fqb = make_fqb(rng, n=2048)
+    cfg = EngineConfig(spec=HashSpec(k=21, w=11, seed=17),
+                       count_mode="occurrences", table_bits=10,
+                       batch_reads=256, flush_batches=1)
+    eng = Engine(cfg, log=None)
+    a = counts_text(eng, fqb, "occurrences")
+    eng2 = Engine(EngineConfig(spec=HashSpec(k=21, w=11, seed=17),
+                               count_mode="occurrences", table_bits=16,
+                               batch_reads=2048), log=None)
+    b = counts_text(eng2, fqb, "occurrences")
+    assert a == b
+
+
 @pytest.mark.parametrize("n_mesh", [2, 8])
 def test_engine_sharded_syncmer_matches_single(rng, n_mesh):
     """--syncmer with --shards (the kernel's syncmer path + jnp fallback on

@@ -106,3 +106,46 @@ def test_compact_requires_flush(rng):
     t = ST.append(t, np.arange(10, dtype=np.uint64))
     with pytest.raises(ValueError):
         ST.compact(t)
+
+
+def test_flush_sliced_matches_flush_grow(rng):
+    """The fill-proportional sliced flush (pow2 fill/buf_n slices, pad-concat
+    growth, async n_real) must produce the same table contents as the
+    full-width flush_grow path, including across capacity growth and with a
+    stale-but-valid fill bound."""
+    keys = rng.integers(0, 5000, size=6000).astype(np.uint64) * np.uint64(7)
+    batches = np.array_split(keys, 13)
+
+    ref = ST.make_sorted_table(1 << 6, 1 << 13)
+    for b in batches:
+        ref = ST.append(ref, b)
+        ref = ST.flush_grow(ref)
+    rh, rc = ST.compact(ref)
+
+    t = ST.make_sorted_table(1 << 6, 1 << 13)
+    bound = 0
+    pending = None
+    for i, b in enumerate(batches):
+        t = ST.append(t, b)
+        if pending is not None:
+            bound = int(np.asarray(pending))  # exact one-flush-stale fill
+            pending = None
+        buffered = t.buf_n
+        t, nreal = ST.flush_sliced(t, bound)
+        if nreal is not None:
+            pending = nreal
+        bound = bound + buffered  # loose advance until the exact lands
+    gh, gc = ST.compact(t)
+    assert (rh == gh).all() and (rc == gc).all()
+    assert int(np.asarray(t.spilled)) == 0
+
+
+def test_flush_sliced_empty_and_tiny():
+    t = ST.make_sorted_table(1 << 4, 1 << 6)
+    t2, nreal = ST.flush_sliced(t, 0)
+    assert nreal is None and t2 is t
+    t = ST.append(t, np.array([42], np.uint64))
+    t, nreal = ST.flush_sliced(t, 0)
+    assert int(np.asarray(nreal)) == 1
+    h, c = ST.compact(t)
+    assert list(h) == [42] and list(c) == [1]
