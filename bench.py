@@ -227,7 +227,12 @@ def bench_barcodes():
     from hash10x_tpu.utils.sync import device_sync
 
     rng = np.random.default_rng(11)
-    genome = rng.integers(0, 4, size=20_000_000).astype(np.uint8)
+    # C. elegans-sized genome (config #3): 50k x 30kb molecules over 100Mb is
+    # ~15x molecule coverage — a realistic pileup.  (A 20Mb genome gave 75x:
+    # every molecule overlapped ~150 others and the co-occurrence graph
+    # collapsed into a handful of giant components — not what the config
+    # measures.)
+    genome = rng.integers(0, 4, size=100_000_000).astype(np.uint8)
     # each barcode covers a contiguous molecule; reads sample within it
     mol_starts = rng.integers(0, len(genome) - 30_000, size=BC_CODES)
     bc_ids = np.repeat(np.arange(BC_CODES, dtype=np.int32),
@@ -507,7 +512,15 @@ def main():
         points.append({"name": "shards_curve_virtual_cpu_mesh", "curve": curve,
                        "note": "scaling SHAPE of the sharded path on an "
                                "8-virtual-device CPU mesh (one real chip in "
-                               "this environment); not TPU throughput"})
+                               "this environment); not TPU throughput",
+                       "r02_fix": "r02's inverse scaling (cluster 2.9s@2 -> "
+                               "11.4s@8; count 2x slower at 2 shards) was "
+                               "send-lane sizing: worst-case 4E/n lanes made "
+                               "RECEIVED pad volume - and with it LSM flush "
+                               "sort volume - GROW with mesh size; lanes now "
+                               "size to expected per-dest load (2E/n + slack"
+                               ", exact overflow accounting unchanged), so "
+                               "per-shard flush volume shrinks as 1/n"})
     except Exception as e:
         print(f"bench: shards curve skipped ({e})", file=sys.stderr)
 

@@ -247,6 +247,14 @@ def _forward_positions(inc: Incidence) -> np.ndarray:
     return device_dense_ranks(fwd_key).astype(np.int64)
 
 
+# edges above this fall back to the BLOCKED propagate: the monolithic
+# while_loop's per-round temporaries (gathers + segment mins over the padded
+# edge width) scale with the edge count and crashed the TPU worker at ~128M
+# padded edges on a dense lane; the blocked path bounds per-dispatch memory
+# to one block and pays one host sync per fixpoint round instead
+_EDGE_BLOCK = 1 << 25
+
+
 def propagate_labels(inc: Incidence, p_edges, f_edges, n_f: int) -> np.ndarray:
     """Component labels for every forward-CSR position (local min k-mer index
     within its barcode), via global flat min-label propagation."""
@@ -262,14 +270,75 @@ def propagate_labels(inc: Incidence, p_edges, f_edges, n_f: int) -> np.ndarray:
     fkey = jnp.sort(fkey)
     p_by_f = (fkey % jnp.uint64(inc.n_pairs)).astype(jnp.int32)
     f_sorted = (fkey // jnp.uint64(inc.n_pairs)).astype(jnp.int32)
-    glob = _propagate(p_by_f, f_sorted, p_e.astype(jnp.int32),
-                      f_e.astype(jnp.int32),
-                      n_p=inc.n_pairs, n_f=n_f)
+    if p_e.shape[0] > _EDGE_BLOCK:
+        glob = _propagate_blocked(p_by_f, f_sorted, p_e.astype(jnp.int32),
+                                  f_e.astype(jnp.int32),
+                                  n_p=inc.n_pairs, n_f=n_f)
+    else:
+        glob = _propagate(p_by_f, f_sorted, p_e.astype(jnp.int32),
+                          f_e.astype(jnp.int32),
+                          n_p=inc.n_pairs, n_f=n_f)
     # global min position -> local min k-mer index within the barcode
     code_of_p = np.repeat(
         np.arange(inc.n_codes, dtype=np.int64), np.diff(inc.code_offsets))
     return (np.asarray(glob).astype(np.int64)
             - inc.code_offsets[code_of_p]).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg",))
+def _seg_min_block(acc, lab_src, idx_block, seg_block, n_seg: int):
+    """min-combine one edge block's segment_min into the accumulator.
+    Sentinel edges carry idx = len(lab_src)-1 and seg = n_seg-1, so they only
+    ever touch the sentinel rows."""
+    part = jax.ops.segment_min(lab_src[idx_block], seg_block,
+                               num_segments=n_seg, indices_are_sorted=True)
+    return jnp.minimum(acc, part)
+
+
+@functools.partial(jax.jit, static_argnames=("n_p",))
+def _jump_round(lab, back, n_p: int):
+    new = jnp.minimum(lab, back)
+    new = jnp.minimum(new, new[new])   # pointer jump x2
+    new = jnp.minimum(new, new[new])
+    return new, jnp.any(new != lab)
+
+
+def _propagate_blocked(p_by_f, f_sorted, p_ids_sorted, f_by_p,
+                       n_p: int, n_f: int):
+    """_propagate with bounded per-dispatch memory: each fixpoint round folds
+    segment mins over fixed-size edge blocks (one device program per block
+    shape) instead of one program over the whole padded edge array.  Same
+    labels as _propagate (min over a union == min over its blocks); costs one
+    host sync per round for the convergence flag.  Labels live in (n_p+1,)
+    arrays whose last row is the sentinel target of pad edges (pads pack
+    p = n_p, f = n_f, so they never touch real rows)."""
+    E = int(p_by_f.shape[0])
+    nb = (E + _EDGE_BLOCK - 1) // _EDGE_BLOCK
+    # pad to whole blocks with sentinel edges
+    pad = nb * _EDGE_BLOCK - E
+    if pad:
+        p_by_f = jnp.concatenate([p_by_f, jnp.full((pad,), n_p, jnp.int32)])
+        f_sorted = jnp.concatenate([f_sorted, jnp.full((pad,), n_f, jnp.int32)])
+        p_ids_sorted = jnp.concatenate(
+            [p_ids_sorted, jnp.full((pad,), n_p, jnp.int32)])
+        f_by_p = jnp.concatenate([f_by_p, jnp.full((pad,), n_f, jnp.int32)])
+    big = np.int32(2 ** 31 - 1)
+    lab = jnp.arange(n_p + 1, dtype=jnp.int32)
+    while True:
+        f_lab = jnp.full((n_f + 1,), big, jnp.int32)
+        for b in range(nb):
+            s = slice(b * _EDGE_BLOCK, (b + 1) * _EDGE_BLOCK)
+            f_lab = _seg_min_block(f_lab, lab, p_by_f[s], f_sorted[s],
+                                   n_f + 1)
+        back = jnp.full((n_p + 1,), big, jnp.int32)
+        for b in range(nb):
+            s = slice(b * _EDGE_BLOCK, (b + 1) * _EDGE_BLOCK)
+            back = _seg_min_block(back, f_lab, f_by_p[s], p_ids_sorted[s],
+                                  n_p + 1)
+        # an edgeless row's back stays `big`: min(lab, big) = lab
+        lab, changed = _jump_round(lab, back, n_p + 1)
+        if not bool(np.asarray(changed)):
+            return lab[:n_p]
 
 
 @functools.partial(jax.jit, static_argnames=("n_p", "n_f"))

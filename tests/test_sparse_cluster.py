@@ -90,3 +90,15 @@ def test_sparse_chunk_boundaries(rng):
     b = SP.cluster_codes_sparse(inc, min_friend_share=2, chunk=64)
     for c in range(inc.n_codes):
         assert a[c].tolist() == b[c].tolist()
+
+
+def test_blocked_propagate_matches_monolithic(rng, monkeypatch):
+    """The blocked propagate fallback (engaged past _EDGE_BLOCK edges; bounds
+    per-dispatch memory on dense lanes that crashed the TPU worker) must be
+    label-identical to the monolithic while_loop path."""
+    from hash10x_tpu.cluster import sparse as SP
+    inc = random_incidence(rng, n_kmers=400, n_codes=120, density=0.2)
+    want = SP.cluster_codes_sparse(inc, min_friend_share=4, flat=True)
+    monkeypatch.setattr(SP, "_EDGE_BLOCK", 1 << 10)
+    got = SP.cluster_codes_sparse(inc, min_friend_share=4, flat=True)
+    assert (want == got).all()
