@@ -531,6 +531,14 @@ def main():
     print(json.dumps({"metric": "count_pass_reads_per_s",
                       "value": round(eng_rps, 1), "unit": "reads/s",
                       "vs_baseline": round(vs, 3), "points": points}))
+    # truncation-proof summary LAST: the driver captures output tails, and
+    # the full line above (with all point payloads) once lost its head —
+    # BENCH_r03 recorded no headline.  This compact line always survives.
+    print(json.dumps({"metric": "count_pass_reads_per_s",
+                      "value": round(eng_rps, 1), "unit": "reads/s",
+                      "vs_baseline": round(vs, 3),
+                      "summary_of_full_line_above": True,
+                      "point_names": [p.get("name") for p in points]}))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,9 @@ Parameters (take effect for later commands):
   --countMode <barcodes|occurrences>
   --batchReads <n>
   --shards <n>         shard the count pass over n mesh devices
+  --laneCapacity <n>   sharded paths: send-lane slots per destination shard
+                       (0 = auto-size to expected load; raise after a
+                       "lane overflow" error on a skewed lane)
   --labelBlocks <n>    distributed clustering: propagate labels in
                        barcode-aligned blocks of ~n pairs (full-lane scale)
   -t <n>               thread count (accepted for compatibility; device batching
@@ -128,6 +131,7 @@ class _State:
         self.batch_reads = 4096
         self.syncmer_s = 0
         self.n_shards = 1
+        self.lane_capacity = 0
         self.label_blocks = 0
         self.error_fix_min_reads = 0
         self.metrics_path = None
@@ -147,6 +151,7 @@ class _State:
                 cluster_mode=self.cluster_mode, min_share=self.min_share,
                 min_friend_share=self.min_friend_share, syncmer_s=self.syncmer_s,
                 max_friends=self.max_friends, n_shards=self.n_shards,
+                lane_capacity=self.lane_capacity,
                 cluster_label_blocks=self.label_blocks,
                 error_fix_min_reads=self.error_fix_min_reads)
             self.engine = Engine(cfg, log=self.err)
@@ -261,6 +266,10 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         elif a == "--shards":
             st.param_change_guard(); st.n_shards = int(need(1, a)[0])
             st.engine = None
+        elif a == "--laneCapacity":
+            st.lane_capacity = int(need(1, a)[0])
+            if st.engine is not None:
+                st.engine.cfg.lane_capacity = st.lane_capacity
         elif a == "--labelBlocks":
             st.label_blocks = int(need(1, a)[0])
         elif a == "--errorFixReads":

@@ -211,7 +211,10 @@ def _cooccur_table(inc, mesh: Mesh, chunk: int):
     # low-bit routing spreads a window's keys ~uniformly; size lanes to the
     # expected load with 4x headroom (exact overflow accounting raises) —
     # worst-case W lanes made flush volume scale WITH the mesh size, the
-    # round-2 inverse-scaling artifact
+    # round-2 inverse-scaling artifact.  TRADEOFF: a pathologically skewed
+    # window (one owner receiving >4x its expected share) raises a loud
+    # RuntimeError instead of dropping; ``chunk`` (bigger windows => more
+    # averaging) is the caller-facing knob, named in the error message
     cap_lane = min(W, _pow2(4 * W // max(n, 1) + 1024))
     step, recv_width = _make_pair_route_step(mesh, W, inc.n_codes, cap_lane)
     flush = _make_flush(mesh)

@@ -77,7 +77,19 @@ class ShardedSortedTable:
     with no re-sort, and a key's canonical global rank is shard_offset[s] +
     local rank (the distributed-canonical-ids property).  routing="low":
     shard = key & (n-1) — for key spaces with no usable range structure
-    (incidence pair keys are code-major)."""
+    (incidence pair keys are code-major).
+
+    The buffer is WEIGHTED ((buf, bufw) (key, multiplicity) pairs, like
+    ``table/sorted_table.py``): the count step pre-reduces each batch's
+    receipts at the owner shard, so buffered entries are ~n_distinct rather
+    than ~n_emissions — flush merge-sort volume (the measured count-pass
+    wall) shrinks by the pad + multiplicity ratio (r04; the r03 single-device
+    win ported per VERDICT item 1).
+
+    ``fill_bound``/``pending_nreal`` track a host-side occupancy upper bound
+    with an async exact refresh for fill-proportional SLICED flushes
+    (``flush_sliced_sharded``), mirroring the single-device engine's
+    _flush_any discipline: no per-flush host sync, sort volume ∝ fill."""
 
     def __init__(self, mesh: Mesh, capacity: int, buf_capacity: int,
                  spec: Optional[HashSpec] = None, routing: str = "range",
@@ -100,7 +112,11 @@ class ShardedSortedTable:
         self.counts = jax.device_put(jnp.zeros((n, capacity), jnp.uint32), sh)
         self.buf = jax.device_put(
             jnp.full((n, buf_capacity), _U64MAX, jnp.uint64), sh)
+        self.bufw = jax.device_put(
+            jnp.zeros((n, buf_capacity), jnp.uint32), sh)
         self.buf_n = 0
+        self.fill_bound = 0           # host upper bound on per-shard fill
+        self.pending_nreal = None     # async exact max-fill scalar (device)
         self.spilled = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
         self.route_drops = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
 
@@ -109,19 +125,78 @@ class ShardedSortedTable:
         return int(jnp.sum(self.hashes != _U64MAX))
 
 
-def _make_flush(mesh: Mesh):
-    @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P("d"), P("d"), P("d")),
-                       out_specs=(P("d"), P("d"), P("d"), P("d")),
-                       check_vma=False)
-    def flush_body(hashes, counts, buf):
-        h, c, spilled = st._merge_impl(
-            hashes[0], counts[0], buf[0],
-            (buf[0] != _U64MAX).astype(jnp.uint32))
-        fresh = jnp.full(buf.shape[1:], _U64MAX, jnp.uint64)
-        return h[None], c[None], fresh[None], spilled[None]
+@functools.partial(jax.jit, static_argnames=("cap",), donate_argnums=(0, 1))
+def _grow_rows(hashes, counts, cap: int):
+    """Pad-concat per-shard capacity growth (columns; rows stay sharded)."""
+    n, c = hashes.shape
+    return (jnp.concatenate(
+                [hashes, jnp.full((n, cap - c), _U64MAX, jnp.uint64)], axis=1),
+            jnp.concatenate(
+                [counts, jnp.zeros((n, cap - c), jnp.uint32)], axis=1))
 
-    return jax.jit(flush_body, donate_argnums=(0, 1, 2))
+
+_FLUSH_SLICED_CACHE = {}
+
+
+def _make_flush_sliced(mesh: Mesh, b1: int, b2: int):
+    """Shard-parallel fill-proportional flush: each shard merges only its
+    first ``b1`` table slots (>= every shard's true fill — ascending with
+    U64MAX pads, so all real keys live there) with its first ``b2`` buffer
+    slots, exactly ``st._merge_sliced`` per row.  Returns the per-shard
+    tables plus the REPLICATED max new fill as a device scalar for the
+    caller's async bound refresh.  Never spills: callers grow capacity by
+    pad-concat first when b1 + b2 > capacity."""
+    key = (mesh, b1, b2)  # Mesh is hashable; id() could alias after gc
+    fn = _FLUSH_SLICED_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P("d"), P("d"), P("d"), P("d")),
+                       out_specs=(P("d"), P("d"), P("d"), P("d"), P()),
+                       check_vma=False)
+    def flush_body(hashes, counts, buf, bufw):
+        h, c, n_real = st._merge_sliced.__wrapped__(
+            hashes[0], counts[0], buf[0], bufw[0], b1, b2)
+        fresh = jnp.full(buf.shape[1:], _U64MAX, jnp.uint64)
+        freshw = jnp.zeros(bufw.shape[1:], jnp.uint32)
+        return (h[None], c[None], fresh[None], freshw[None],
+                jax.lax.pmax(n_real, "d"))
+
+    fn = jax.jit(flush_body, donate_argnums=(0, 1, 2, 3))
+    _FLUSH_SLICED_CACHE[key] = fn
+    return fn
+
+
+def flush_sliced_sharded(t: ShardedSortedTable) -> ShardedSortedTable:
+    """Flush the weighted buffer without blocking: consume the previous
+    flush's async exact max-fill if it landed, slice the merge to
+    pow2(bound) + pow2(buf_n), grow capacity by pad-concat when the merged
+    run would not fit (never spills), and leave the new exact fill as an
+    async device scalar for the NEXT flush (the sharded port of the
+    engine's _flush_any)."""
+    if t.buf_n == 0:
+        return t
+    if t.pending_nreal is not None:
+        t.fill_bound = int(np.asarray(t.pending_nreal))
+        t.pending_nreal = None
+    b1 = min(st._pow2ceil(max(t.fill_bound, 1)), t.capacity)
+    b2 = min(st._pow2ceil(t.buf_n), t.buf_capacity)
+    if b1 + b2 > t.capacity:
+        new_cap = st._pow2ceil(b1 + b2)
+        t.hashes, t.counts = _grow_rows(t.hashes, t.counts, new_cap)
+        t.capacity = new_cap
+    fn = _make_flush_sliced(t.mesh, b1, b2)
+    t.hashes, t.counts, t.buf, t.bufw, n_real = fn(
+        t.hashes, t.counts, t.buf, t.bufw)
+    try:
+        n_real.copy_to_host_async()
+    except AttributeError:
+        pass
+    t.pending_nreal = n_real
+    t.fill_bound = t.fill_bound + t.buf_n
+    t.buf_n = 0
+    return t
 
 
 def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
@@ -192,7 +267,6 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             return jnp.where(valid, d, n)
         return jnp.where(valid, (keys & shard_mask).astype(jnp.int32), n)
 
-    flush_fn = _make_flush(mesh)
     retained_rows = retained_off = None
     if pair_retained_sharded is not None:
         retained_rows, r_off_np, n_ret = pair_retained_sharded
@@ -268,7 +342,14 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         expected per-dest load is E/n; 2x headroom + slack covers skew, and
         overflow is counted exactly and raises — never silent.  The old
         worst-case 4E/n made received pads (hence LSM flush volume) grow with
-        the mesh size: the r02 count-curve non-monotonicity."""
+        the mesh size: the r02 count-curve non-monotonicity.
+
+        TRADEOFF (deliberate): expected-load sizing means a pathologically
+        skewed batch (one hash value or barcode dominating) that FIT under
+        worst-case lanes can now overflow — a loud, data-dependent
+        RuntimeError at scale rather than a silent drop.  ``lane_capacity``
+        (CLI ``--laneCapacity``) overrides the auto size for such lanes; the
+        error message names it."""
         if lane_capacity:
             return lane_capacity
         if n == 1:

@@ -98,6 +98,14 @@ class EngineConfig:
     n_shards: int = 1                # >1: count pass runs sharded over a device
                                      # mesh (dist/sharded_sorted); downstream
                                      # commands consume the gathered table
+    lane_capacity: int = 0           # sharded paths: send-lane slots per
+                                     # destination shard (0 = auto: expected
+                                     # per-dest load + slack).  Auto sizing
+                                     # keeps flush volume ∝ 1/n_shards but a
+                                     # pathologically skewed lane (one hash/
+                                     # barcode dominating a batch) can
+                                     # overflow and raise mid-run; this knob
+                                     # trades memory for that safety margin
     cluster_label_blocks: int = 0    # >0: distributed clustering propagates
                                      # labels in barcode-aligned blocks of ~n
                                      # pairs (config-#5 memory path)
@@ -131,7 +139,9 @@ class Engine:
         self.n_reads_counted = 0
         self._read_len = 0
         self._filled_bound = 0
-        self._pending_nreal = None  # async exact-fill scalar (see _flush_any)
+        # async exact-fill scalar for the MAIN count table only (see
+        # _flush_any; other tables thread their own pending locally)
+        self._pending_nreal = None
         self._cap_overflow = jnp.zeros((), jnp.uint32)
         self._step_cache = {}
         self._chunk_cache = {}
@@ -608,7 +618,8 @@ class Engine:
             buf_cap = max(cap, 1 << max(want - 1, 1).bit_length())
             self.table = st.make_sorted_table(cap, buf_cap)
 
-    def _flush_any(self, t: "st.SortedTable", bound: int, load: float = 0.6):
+    @staticmethod
+    def _flush_any(t: "st.SortedTable", bound: int, pending):
         """Flush ``t`` without EVER blocking the pipeline: the sliced flush
         (st.flush_sliced) merges only pow2(fill) table slots with pow2(buf_n)
         buffer slots — sort volume tracks the data, not the capacity — grows
@@ -619,12 +630,18 @@ class Engine:
         lands, bound advances loosely by buf_n.  The previous design's
         blocking per-flush host sync (st.flush_grow) measured 30-50 ms
         through the relay and dominated small-lane count walls.
-        Returns (table, new_loose_bound)."""
-        if self._pending_nreal is not None:
+
+        ``pending`` is the PREVIOUS flush's async exact-fill scalar for THIS
+        table (or None) and the new one is returned alongside — per-table
+        state threaded explicitly, because the engine runs several tables
+        (main count table, incidence pair table, occurrence side pass) and a
+        shared scalar would hand one table's fill to another as its bound
+        (smaller-than-true bounds make flush_sliced's b1 slice drop real
+        keys).  Returns (table, new_loose_bound, new_pending)."""
+        if pending is not None:
             # exact fill after the previous flush — ready by now (later
             # dispatches were enqueued behind it), so this is ~one readback
-            bound = int(np.asarray(self._pending_nreal))
-            self._pending_nreal = None
+            bound = int(np.asarray(pending))
         buffered = t.buf_n
         t, n_real_d = st.flush_sliced(t, bound)
         if n_real_d is not None:
@@ -632,16 +649,22 @@ class Engine:
                 n_real_d.copy_to_host_async()
             except AttributeError:  # older jax.Array without the method
                 pass
-            self._pending_nreal = n_real_d
-        return t, bound + buffered
+        return t, bound + buffered, n_real_d
 
     def _pre_append(self, n: int) -> None:
         """Make room for n more buffered entries (see _flush_any: sliced
-        sync-free flush with an async exact-fill refresh)."""
+        sync-free flush with an async exact-fill refresh).  If a single
+        dispatch appends more than the whole buffer (a jnp-fallback step
+        variant can have ~2x the kernel variant's slots), the buffer GROWS —
+        _buf_write's dynamic_update_slice clamps offsets and would silently
+        overwrite earlier appends otherwise (never-silent contract)."""
         t = self.table
         if t.buf_n + n > t.buf.shape[0]:
-            self.table, self._filled_bound = self._flush_any(
-                t, self._filled_bound)
+            self.table, self._filled_bound, self._pending_nreal = \
+                self._flush_any(t, self._filled_bound, self._pending_nreal)
+            t = self.table
+        if n > t.buf.shape[0]:
+            self.table = st.grow_buf(t, n)
 
     def _append(self, flat_h: jnp.ndarray, weights=None) -> None:
         n = flat_h.shape[0]
@@ -1009,7 +1032,7 @@ class Engine:
             use_kernel=cfg.use_kernel, packed_read_len=fqb.read_len,
             count_mode=cfg.count_mode,
             emission_cap_factor=cfg.emission_cap_factor,
-            syncmer_s=cfg.syncmer_s)
+            syncmer_s=cfg.syncmer_s, lane_capacity=cfg.lane_capacity)
         # per-shard buffer must hold at least a few steps' received lanes
         width = step.recv_width(cfg.batch_reads, fqb.read_len)
         dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
@@ -1080,7 +1103,7 @@ class Engine:
         drops = DS.host_sum(dt, dt.route_drops)
         if drops:
             raise RuntimeError(f"sharded count dropped {drops} emissions "
-                               "(lane/cap overflow); raise lane capacity")
+                               "(lane/cap overflow); raise --laneCapacity")
         if DS.host_sum(dt, dt.spilled):
             raise RuntimeError("sharded table spilled; raise --tableBits")
         # the table STAYS device-sharded: filter and incidence consume it in
@@ -1235,6 +1258,18 @@ class Engine:
             self.table, rescued = st.prune_rescue(
                 self._flushed(), occ_h, occ_c, max_count, min_reads)
         else:
+            if min_reads > 0:
+                # the user asked for rescue but it cannot run — say so
+                # loudly rather than silently degrading to drop-only
+                why = ("no reads are loaded (rescue needs a second pass "
+                       "over the lane; --errorFixReads after --readHash "
+                       "alone cannot run it)" if fqb is None else
+                       f"count_mode={self.cfg.count_mode!r} has no "
+                       "barcode-band semantics to rescue against")
+                raise RuntimeError(
+                    f"errorFix rescue (min_reads={min_reads}) cannot be "
+                    f"honored: {why}; rerun with reads loaded in barcodes "
+                    "mode, or drop --errorFixReads for drop-only pruning")
             self.table = st.prune(t, max_count + 1)
         after = int(np.asarray(self.table.n_filled))
         self._filled_bound = after
@@ -1413,6 +1448,7 @@ class Engine:
         nk_u = jnp.uint64(max(n_kmers, 1))
         pt = None
         pt_bound = 0
+        pt_pending = None  # pair table's OWN async fill (never the count table's)
         bsz = self.cfg.batch_reads
         S = max(1, self.cfg.flush_batches)
         # group tags are irrelevant here: the pair table dedups globally
@@ -1443,7 +1479,10 @@ class Engine:
                         pt = st.make_sorted_table(
                             cap, max(cap, step.n_appended))
                     if pt.buf_n + step.n_appended > pt.buf.shape[0]:
-                        pt, pt_bound = self._flush_any(pt, pt_bound)
+                        pt, pt_bound, pt_pending = self._flush_any(
+                            pt, pt_bound, pt_pending)
+                    if step.n_appended > pt.buf.shape[0]:
+                        pt = st.grow_buf(pt, step.n_appended)
                     args = (pt.buf, pt.bufw, retained_d, nk_u, dp, dl, dc)
                     if nmask_w:
                         args = args + (dnm,)
@@ -1509,7 +1548,8 @@ class Engine:
             use_kernel=cfg.use_kernel, packed_read_len=fqb.read_len,
             count_mode="occurrences",
             emission_cap_factor=cfg.emission_cap_factor,
-            syncmer_s=cfg.syncmer_s, **retained_kw)
+            syncmer_s=cfg.syncmer_s, lane_capacity=cfg.lane_capacity,
+            **retained_kw)
         width = step.recv_width(cfg.batch_reads, fqb.read_len)
         cap = max((1 << cfg.table_bits) // cfg.n_shards, 1 << 14)
         dt = DS.ShardedSortedTable(mesh, cap, max(cap * 2, 2 * width),
@@ -1531,7 +1571,7 @@ class Engine:
         drops = DS.host_sum(dt, dt.route_drops)
         if drops:
             raise RuntimeError(f"sharded incidence dropped {drops} pair keys "
-                               "(lane/cap overflow); raise lane capacity or "
+                               "(lane/cap overflow); raise --laneCapacity or "
                                "emission_cap_factor")
         if DS.host_sum(dt, dt.spilled):
             raise RuntimeError("sharded pair table spilled; raise --tableBits")
@@ -1751,7 +1791,14 @@ class Engine:
                              "(tables are only comparable with identical k/w/seed)")
         n_in = len(z["hashes"])
         cap = max(1 << self.cfg.table_bits, 1 << max(n_in - 1, 1).bit_length())
+        # REPLACE means replace: clear sharded-lane state too, or the lazy
+        # retained_hashes property / incidence()'s _ret_sh check would
+        # resurrect the pre-load lane's sharded retained set (stale data)
         self.table = None
+        self._dt = None
+        self._ret_sh = None
+        self._pending_nreal = None
+        self._cap_overflow = jnp.zeros((), jnp.uint32)
         self._ensure_table(1)
         if self.table.capacity < cap:
             self.table = st.grow(self.table, cap)

@@ -40,8 +40,9 @@ import numpy as np
 from ..hashspec import U64MAX
 
 __all__ = ["SortedTable", "make_sorted_table", "append", "append_pairs",
-           "flush", "flush_grow", "flush_sliced", "count_histogram", "compact",
-           "lookup_ids", "dedup_weighted", "dedup_pairs_weighted"]
+           "flush", "flush_grow", "flush_sliced", "grow_buf",
+           "count_histogram", "compact", "lookup_ids", "dedup_weighted",
+           "dedup_pairs_weighted"]
 
 # numpy scalar, NOT jnp: a module-level jnp array is a DEVICE constant
 # that jit captures and must fetch at lowering time (hangs through the
@@ -260,6 +261,26 @@ def flush_grow(t: SortedTable, load: float = 0.6, return_count: bool = False):
     fb, fw = _fresh_buf(t.buf, t.bufw)
     res = SortedTable(nh, nw, fb, fw, 0, t.spilled)
     return (res, n_real) if return_count else res
+
+
+@functools.partial(jax.jit, static_argnames=("cap",), donate_argnums=(0, 1))
+def _grow_buf_impl(buf, bufw, cap: int):
+    n = buf.shape[0]
+    return (jnp.concatenate([buf, jnp.full((cap - n,), _U64MAX, jnp.uint64)]),
+            jnp.concatenate([bufw, jnp.zeros((cap - n,), jnp.uint32)]))
+
+
+def grow_buf(t: SortedTable, buf_capacity: int) -> SortedTable:
+    """Grow the append buffer in place (pad-concat, keeps buffered entries).
+
+    Callers whose per-dispatch append width can EXCEED the buffer created at
+    table time (e.g. a jnp-fallback step variant with ~2x the kernel variant's
+    slots) must grow before writing: ``_buf_write``'s dynamic_update_slice
+    CLAMPS out-of-range offsets and would silently overwrite earlier appends."""
+    if buf_capacity <= t.buf.shape[0]:
+        return t
+    buf, bufw = _grow_buf_impl(t.buf, t.bufw, _pow2ceil(buf_capacity))
+    return SortedTable(t.hashes, t.counts, buf, bufw, t.buf_n, t.spilled)
 
 
 def merge_counts(t: SortedTable, other_h, other_w) -> SortedTable:
