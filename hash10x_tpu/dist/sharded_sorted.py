@@ -151,17 +151,19 @@ def _make_flush_sliced(mesh: Mesh, b1: int, b2: int):
     if fn is not None:
         return fn
 
+    # n_real returns PER SHARD (P("d")); the caller maxes on host at consume
+    # time — a pmax here would be cleaner but the axon AOT compiler lowers
+    # only Sum all-reduces (HTTP 500 on anything else)
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(P("d"), P("d"), P("d"), P("d")),
-                       out_specs=(P("d"), P("d"), P("d"), P("d"), P()),
+                       out_specs=(P("d"), P("d"), P("d"), P("d"), P("d")),
                        check_vma=False)
     def flush_body(hashes, counts, buf, bufw):
         h, c, n_real = st._merge_sliced.__wrapped__(
             hashes[0], counts[0], buf[0], bufw[0], b1, b2)
         fresh = jnp.full(buf.shape[1:], _U64MAX, jnp.uint64)
         freshw = jnp.zeros(bufw.shape[1:], jnp.uint32)
-        return (h[None], c[None], fresh[None], freshw[None],
-                jax.lax.pmax(n_real, "d"))
+        return (h[None], c[None], fresh[None], freshw[None], n_real[None])
 
     fn = jax.jit(flush_body, donate_argnums=(0, 1, 2, 3))
     _FLUSH_SLICED_CACHE[key] = fn
@@ -178,7 +180,14 @@ def flush_sliced_sharded(t: ShardedSortedTable) -> ShardedSortedTable:
     if t.buf_n == 0:
         return t
     if t.pending_nreal is not None:
-        t.fill_bound = int(np.asarray(t.pending_nreal))
+        # per-shard (n,) fills; the bound is the max.  Multi-process meshes:
+        # the array may not be fully addressable — every process sees its
+        # own shards' fills, so allgather the max (uniform across processes)
+        p = t.pending_nreal
+        if not getattr(p, "is_fully_addressable", True):
+            rep = NamedSharding(t.mesh, P())
+            p = jax.jit(lambda x: jnp.max(x), out_shardings=rep)(p)
+        t.fill_bound = int(np.asarray(p).max())
         t.pending_nreal = None
     b1 = min(st._pow2ceil(max(t.fill_bound, 1)), t.capacity)
     b2 = min(st._pow2ceil(t.buf_n), t.buf_capacity)
@@ -197,6 +206,12 @@ def flush_sliced_sharded(t: ShardedSortedTable) -> ShardedSortedTable:
     t.fill_bound = t.fill_bound + t.buf_n
     t.buf_n = 0
     return t
+
+
+def code_range_bounds(n_codes: int, n: int) -> np.ndarray:
+    """(n+1,) code boundaries partitioning [0, n_codes) into n ~equal ranges
+    — the pair-key shard map (shard s owns codes [b[s], b[s+1]))."""
+    return np.array([(n_codes * s) // n for s in range(n + 1)], np.int64)
 
 
 def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
@@ -254,6 +269,12 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     if pair_retained is not None and pair_retained_sharded is not None:
         raise ValueError("pass pair_retained OR pair_retained_sharded")
     pair = pair_retained is not None or pair_retained_sharded is not None
+    # Pair keys route by LOW bits during streaming — batches are
+    # barcode-sorted, so code-range routing here would hot-spot one owner
+    # per batch while every other shard buffers pads; low bits keep the
+    # stream balanced.  dist/sharded_inc.build_sharded_incidence then
+    # redistributes the finished runs into code-aligned CSR slices with ONE
+    # all_to_all round (O(n_pairs/n) per shard).
     routing = "low" if pair else "range"
     range_eff = emit_dist_eff(spec, mode)
     splitters_d = jnp.asarray(range_splitters(spec, n, range_eff))
@@ -383,9 +404,52 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
                                       tiled=True)
         return x
 
-    def step_body(buf, drops, codes, lengths, bcs, offset, nmask, force_jnp,
-                  rrows=None, roff=None):
-        buf, drops = buf[0], drops[0]
+    def expected_per_read(Pp: int) -> int:
+        """Expected emissions per read position window (see _compact_rows)."""
+        if mode == "minimizer" and spec.w > 1:
+            return 2 * Pp // (spec.w + 1) + 1
+        if mode == "modimizer":
+            return Pp // max(modulus or spec.w, 1) + 1
+        if mode == "syncmer" and syncmer_s:
+            return Pp // (spec.k - syncmer_s + 1) + 1
+        return Pp
+
+    def flat_per_read(Pp: int) -> int:
+        cf = emission_cap_factor
+        if cf and mode == "minimizer" and spec.w > 1:
+            return min(Pp, cf * (2 * Pp // (spec.w + 1)) + cf)
+        return Pp
+
+    def slots_recv(batch_reads: int, read_len: int) -> int:
+        """Owner-side pre-reduction slots per shard per batch — the number
+        of entries a batch APPENDS to each shard's weighted buffer.
+
+        Each shard receives ~1/n of the global batch's real emissions
+        (routing is balanced: CDF-matched splitters / low bits), i.e. about
+        one device's emitted real count; distinct keys are fewer still.  2x
+        that expectation + slack is far beyond any non-adversarial batch, and
+        overflow is counted exactly and raises (never silent).  This replaces
+        the r03 design's raw-receipt buffering (n * lane_cap slots, ~75%
+        pads with kernel compaction headroom), which made flush merge-sort
+        volume — the measured count-pass wall — ~4-8x the data."""
+        Pp = read_len - spec.k + 1
+        per = max(batch_reads // n, 1)
+        exp = per * expected_per_read(Pp)
+        raw = n * lane_cap(per * flat_per_read(Pp))  # max receivable
+        if pair:
+            raw = n * lane_cap(raw)
+        # n == 1: routing is the identity — the received set IS one device's
+        # emissions, so the plain engine's 5/4 concentration bound applies;
+        # n > 1 adds headroom for routing skew (splitters balance to ~1.25x)
+        s = (exp + exp // 4 + 4096) if n == 1 else (2 * exp + 4096)
+        return min(raw, ((s + 1023) // 1024) * 1024)
+
+    def core(buf, bufw, drops, codes, lengths, bcs, offset, nmask, force_jnp,
+             rrow, roffv, slots: int):
+        """Per-shard, per-batch core: sketch -> route -> all_to_all ->
+        owner-side pre-reduction -> weighted buffer write.  All arguments are
+        shard-LOCAL (no leading shard axis); ``slots`` is the static dedup
+        width (overflow exact, raises at finish)."""
         if packed_read_len:
             from ..core.encode import unpack_2bit_jnp
             codes = unpack_2bit_jnp(codes, packed_read_len, nmask)
@@ -404,11 +468,10 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             rh = a2a(sh_l).reshape(-1)
             rb = a2a(sb_l).reshape(-1)
             # owner-side canonical rank: local slice rank + shard offset
-            row = rrows[0]
-            idx = jnp.searchsorted(row, rh)
-            idx_c = jnp.minimum(idx, row.shape[0] - 1)
-            found = (rh != _U64MAX) & (row[idx_c] == rh) & (rb >= 0)
-            rank = roff[0].astype(jnp.uint64) + idx_c.astype(jnp.uint64)
+            idx = jnp.searchsorted(rrow, rh)
+            idx_c = jnp.minimum(idx, rrow.shape[0] - 1)
+            found = (rh != _U64MAX) & (rrow[idx_c] == rh) & (rb >= 0)
+            rank = roffv.astype(jnp.uint64) + idx_c.astype(jnp.uint64)
             key = jnp.where(found,
                             rb.astype(jnp.uint64) * n_kmers_u + rank, _U64MAX)
             # hop 2: route pair keys to their low-bits owner for dedup
@@ -418,87 +481,132 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             ds2, ks2 = jax.lax.sort((d2, key), dimension=0, num_keys=1)
             (sk_l,), drop2 = to_lanes(ds2, [(ks2, _U64MAX)], cap2)
             flat = a2a(sk_l).reshape(-1)
-            buf = jax.lax.dynamic_update_slice(buf, flat, (jnp.int32(offset),))
-            return buf[None], (drops + cap_over + drop1 + drop2)[None]
-
-        dest = dest_of(flat_h)
-        # dest-sort carrying payloads, then static-slice lane build
-        if count_mode == "barcodes":
-            ds, hs, bs = jax.lax.sort(
-                (dest, flat_h, flat_bc.astype(jnp.int32)),
-                dimension=0, num_keys=1)
-            (send, send_bc), n_drop = to_lanes(
-                ds, [(hs, _U64MAX), (bs, -1)], cap)
+            uh, uw, over = st.dedup_weighted(flat, slots)
+            drops = drops + cap_over + drop1 + drop2 + over
         else:
-            ds, hs = jax.lax.sort((dest, flat_h), dimension=0, num_keys=1)
-            (send,), n_drop = to_lanes(ds, [(hs, _U64MAX)], cap)
-        recv = a2a(send)
-        flat = recv.reshape(-1)
-        if count_mode == "barcodes":
-            # owner-side (hash, barcode) dedup: exact for split barcodes
-            fb = a2a(send_bc).reshape(-1)
-            # two-key lax.sort, not lexsort: argsort+gather lowers as slow
-            # sort-based gather emulation on TPU
-            hs2, bs2 = jax.lax.sort((flat, fb), dimension=0, num_keys=2)
-            first = jnp.concatenate([jnp.ones((1,), bool),
-                                     (hs2[1:] != hs2[:-1]) | (bs2[1:] != bs2[:-1])])
-            first = first & (bs2 >= 0) & (hs2 != _U64MAX)
-            flat = jnp.where(first, hs2, _U64MAX)
-        buf = jax.lax.dynamic_update_slice(buf, flat, (jnp.int32(offset),))
-        return buf[None], (drops + cap_over + n_drop)[None]
+            dest = dest_of(flat_h)
+            # dest-sort carrying payloads, then static-slice lane build
+            if count_mode == "barcodes":
+                ds, hs, bs = jax.lax.sort(
+                    (dest, flat_h, flat_bc.astype(jnp.int32)),
+                    dimension=0, num_keys=1)
+                (send, send_bc), n_drop = to_lanes(
+                    ds, [(hs, _U64MAX), (bs, -1)], cap)
+                flat = a2a(send).reshape(-1)
+                fb = a2a(send_bc).reshape(-1)
+                # owner-side (hash, barcode) pre-reduction: weight = distinct
+                # barcodes of the hash in THIS batch — exact for barcodes
+                # split across devices (they meet at the owner) and across
+                # batches (barcode-aligned batching, engine contract)
+                uh, uw, over = st.dedup_pairs_weighted(flat, fb, slots)
+            else:
+                ds, hs = jax.lax.sort((dest, flat_h), dimension=0, num_keys=1)
+                (send,), n_drop = to_lanes(ds, [(hs, _U64MAX)], cap)
+                flat = a2a(send).reshape(-1)
+                uh, uw, over = st.dedup_weighted(flat, slots)
+            drops = drops + cap_over + n_drop + over
+        buf = jax.lax.dynamic_update_slice(buf, uh, (jnp.int32(offset),))
+        bufw = jax.lax.dynamic_update_slice(bufw, uw, (jnp.int32(offset),))
+        return buf, bufw, drops
 
-    # step variants keyed by (with_nmask, force_jnp): the common fast path
-    # (kernel, no Ns) plus exact fallbacks; traced lazily so unused variants
-    # never cost a remote compile
+    # step variants keyed by (with_nmask, force_jnp, slots) — and for the
+    # scan-fused variant also (S, per, chunk shape via retrace): the common
+    # fast path plus exact fallbacks; traced lazily so unused variants never
+    # cost a remote compile
     _steps = {}
 
-    def get_step(with_nmask: bool, force_jnp: bool):
-        key = (with_nmask, force_jnp)
+    def get_step(with_nmask: bool, force_jnp: bool, slots: int):
+        key = ("batch", with_nmask, force_jnp, slots)
         if key not in _steps:
             ret_specs = (P("d"), P("d")) if pair else ()
-            if with_nmask:
+
+            def body(buf, bufw, drops, *args):
                 if pair:
-                    def body(buf, drops, rrows, roff, codes, lengths, bcs,
-                             offset, nmask):
-                        return step_body(buf, drops, codes, lengths, bcs,
-                                         offset, nmask, force_jnp, rrows, roff)
+                    rrow, roffv = args[0][0], args[1][0]
+                    args = args[2:]
                 else:
-                    def body(buf, drops, codes, lengths, bcs, offset, nmask):
-                        return step_body(buf, drops, codes, lengths, bcs,
-                                         offset, nmask, force_jnp)
-                specs = (P("d"), P("d")) + ret_specs + \
-                    (P("d"), P("d"), P("d"), P(), P("d"))
-            else:
-                if pair:
-                    def body(buf, drops, rrows, roff, codes, lengths, bcs,
-                             offset):
-                        return step_body(buf, drops, codes, lengths, bcs,
-                                         offset, None, force_jnp, rrows, roff)
-                else:
-                    def body(buf, drops, codes, lengths, bcs, offset):
-                        return step_body(buf, drops, codes, lengths, bcs,
-                                         offset, None, force_jnp)
-                specs = (P("d"), P("d")) + ret_specs + \
-                    (P("d"), P("d"), P("d"), P())
+                    rrow = roffv = None
+                codes, lengths, bcs, offset = args[:4]
+                nmask = args[4] if with_nmask else None
+                b, w, dr = core(buf[0], bufw[0], drops[0], codes, lengths,
+                                bcs, offset, nmask, force_jnp, rrow, roffv,
+                                slots)
+                return b[None], w[None], dr[None]
+
+            specs = (P("d"), P("d"), P("d")) + ret_specs + \
+                (P("d"), P("d"), P("d"), P()) + \
+                ((P("d"),) if with_nmask else ())
             _steps[key] = jax.jit(jax.shard_map(
                 body, mesh=mesh, in_specs=specs,
-                out_specs=(P("d"), P("d")), check_vma=False),
-                donate_argnums=(0, 1))
+                out_specs=(P("d"), P("d"), P("d")), check_vma=False),
+                donate_argnums=(0, 1, 2))
         return _steps[key]
 
-    def recv_width(batch_reads, read_len):
-        Pp = read_len - spec.k + 1
-        cf = emission_cap_factor
-        if cf and mode == "minimizer" and spec.w > 1:
-            Pp = min(Pp, cf * (2 * Pp // (spec.w + 1)) + cf)
-        E = (batch_reads // n) * Pp
-        w1 = n * lane_cap(E)
-        if pair:  # hop-2 receipts (hop-1 receipts re-route as pair keys)
-            return n * lane_cap(w1)
-        return w1
+    def get_scan(S: int, per: int, with_nmask: bool, force_jnp: bool,
+                 slots: int):
+        """Scan-fused dispatch: S batches per jit, each carved from a
+        device-resident chunk (REPLICATED across the mesh — single-host
+        feeding; multi-process paths feed per-batch global arrays instead).
+        One dispatch amortizes the relay's ~1.1 ms enqueue floor S-fold and
+        lets XLA pipeline iterations (the r03 single-device win, VERDICT
+        item 1)."""
+        key = ("scan", S, per, with_nmask, force_jnp, slots)
+        if key not in _steps:
+            ret_specs = (P("d"), P("d")) if pair else ()
 
-    def apply(t: ShardedSortedTable, codes, lengths, bcs,
-              nmask=None, force_jnp=None) -> ShardedSortedTable:
+            def body(buf, bufw, drops, *args):
+                if pair:
+                    rrow, roffv = args[0][0], args[1][0]
+                    args = args[2:]
+                else:
+                    rrow = roffv = None
+                if with_nmask:
+                    dp, dl, dc, dnm, offs, ms, base = args
+                else:
+                    dp, dl, dc, offs, ms, base = args
+                    dnm = None
+                buf, bufw, drops = buf[0], bufw[0], drops[0]
+                d_idx = jax.lax.axis_index("d")
+
+                def it(carry, xs):
+                    b, w, dr = carry
+                    off, m, i = xs
+                    start = off + d_idx * per
+                    pk = jax.lax.dynamic_slice(
+                        dp, (start, jnp.int32(0)), (per, dp.shape[1]))
+                    ln = jax.lax.dynamic_slice(dl, (start,), (per,))
+                    bc = jax.lax.dynamic_slice(dc, (start,), (per,))
+                    rowid = d_idx * per + jnp.arange(per, dtype=jnp.int32)
+                    ln = jnp.where(rowid < m, ln, 0)
+                    bc = jnp.where(rowid < m, bc, -1)
+                    nm = None
+                    if dnm is not None:
+                        nm = jax.lax.dynamic_slice(
+                            dnm, (start, jnp.int32(0)), (per, dnm.shape[1]))
+                        nm = jnp.where((rowid < m)[:, None], nm, 0)
+                    b, w, dr = core(b, w, dr, pk, ln, bc,
+                                    base + i * jnp.int32(slots), nm,
+                                    force_jnp, rrow, roffv, slots)
+                    return (b, w, dr), None
+
+                (buf, bufw, drops), _ = jax.lax.scan(
+                    it, (buf, bufw, drops),
+                    (offs, ms, jnp.arange(S, dtype=jnp.int32)))
+                return buf[None], bufw[None], drops[None]
+
+            specs = (P("d"), P("d"), P("d")) + ret_specs + \
+                (P(), P(), P()) + ((P(),) if with_nmask else ()) + \
+                (P(), P(), P())
+            _steps[key] = jax.jit(jax.shard_map(
+                body, mesh=mesh, in_specs=specs,
+                out_specs=(P("d"), P("d"), P("d")), check_vma=False),
+                donate_argnums=(0, 1, 2))
+        return _steps[key]
+
+    # entries appended to each shard's buffer per batch (engine buffer sizing)
+    recv_width = slots_recv
+
+    def _check_routing(t: ShardedSortedTable):
         if t.routing != routing:
             raise ValueError(f"table routing {t.routing!r} != step routing "
                              f"{routing!r}")
@@ -508,12 +616,27 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             elif t.range_eff != range_eff:
                 raise ValueError(f"table range_eff {t.range_eff} != step "
                                  f"range_eff {range_eff}")
+
+    def _room(t: ShardedSortedTable, need: int):
+        if t.buf_n + need > t.buf_capacity:
+            t = flush_sliced_sharded(t)
+        if need > t.buf_capacity:
+            new_cap = st._pow2ceil(need)
+            n_sh, c = t.buf.shape
+            t.buf = jnp.concatenate(
+                [t.buf, jnp.full((n_sh, new_cap - c), _U64MAX, jnp.uint64)],
+                axis=1)
+            t.bufw = jnp.concatenate(
+                [t.bufw, jnp.zeros((n_sh, new_cap - c), jnp.uint32)], axis=1)
+            t.buf_capacity = new_cap
+        return t
+
+    def apply(t: ShardedSortedTable, codes, lengths, bcs,
+              nmask=None, force_jnp=None) -> ShardedSortedTable:
+        _check_routing(t)
         L = packed_read_len or codes.shape[1]
-        width = recv_width(codes.shape[0], L)
-        if t.buf_n + width > t.buf_capacity:
-            (t.hashes, t.counts, t.buf, sp) = flush_fn(t.hashes, t.counts, t.buf)
-            t.spilled = t.spilled + sp
-            t.buf_n = 0
+        slots = slots_recv(codes.shape[0], L)
+        t = _room(t, slots)
         # short reads emit nothing in-kernel; route such batches (and batches
         # with N bases) through the jnp-sketch variant so counts stay exact.
         # The chosen variant must be identical across processes (SPMD): with
@@ -527,27 +650,54 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             else:
                 force_jnp = True
         force_jnp = force_jnp or nmask is not None
-        step_fn = get_step(nmask is not None, force_jnp)
-        args = (t.buf, t.route_drops)
+        step_fn = get_step(nmask is not None, force_jnp, slots)
+        args = (t.buf, t.bufw, t.route_drops)
         if pair:
             args = args + (retained_rows, retained_off)
         args = args + (jnp.asarray(codes), jnp.asarray(lengths),
                        jnp.asarray(bcs), jnp.int32(t.buf_n))
         if nmask is not None:
             args = args + (jnp.asarray(nmask),)
-        (t.buf, t.route_drops) = step_fn(*args)
-        t.buf_n += width
+        (t.buf, t.bufw, t.route_drops) = step_fn(*args)
+        t.buf_n += slots
+        return t
+
+    def scan_spans(t: ShardedSortedTable, dp, dl, dc, dnm, offs, ms,
+                   batch_reads: int, force_jnp: bool) -> ShardedSortedTable:
+        """Dispatch one scan group of batches carved from a device-resident
+        chunk (``dp``/``dl``/``dc``/``dnm`` as engine._chunks yields them;
+        replicated across the mesh inside the jit).  ``offs``/``ms`` are the
+        group's batch offsets and valid-row counts, zero-padded to the scan
+        length S; only the REAL batches advance buf_n (pad iterations write
+        all-pad dedup output past the advance point, overwritten by the next
+        dispatch or discarded by the flush slice)."""
+        _check_routing(t)
+        S = len(offs)
+        n_real = int(np.count_nonzero(np.asarray(ms)))
+        L = packed_read_len or dp.shape[1]
+        per = batch_reads // n
+        slots = slots_recv(batch_reads, L)
+        t = _room(t, S * slots)
+        step_fn = get_scan(S, per, dnm is not None, force_jnp, slots)
+        args = (t.buf, t.bufw, t.route_drops)
+        if pair:
+            args = args + (retained_rows, retained_off)
+        args = args + (dp, dl, dc)
+        if dnm is not None:
+            args = args + (dnm,)
+        args = args + (jnp.asarray(np.asarray(offs, np.int32)),
+                       jnp.asarray(np.asarray(ms, np.int32)),
+                       jnp.int32(t.buf_n))
+        (t.buf, t.bufw, t.route_drops) = step_fn(*args)
+        t.buf_n += n_real * slots
         return t
 
     def finish(t: ShardedSortedTable) -> ShardedSortedTable:
-        if t.buf_n:
-            (t.hashes, t.counts, t.buf, sp) = flush_fn(t.hashes, t.counts, t.buf)
-            t.spilled = t.spilled + sp
-            t.buf_n = 0
-        return t
+        return flush_sliced_sharded(t)
 
     apply.finish = finish
     apply.recv_width = recv_width
+    apply.scan_spans = scan_spans
     return apply
 
 

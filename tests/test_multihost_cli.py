@@ -148,3 +148,118 @@ def test_per_process_shard_files_match_full_lane(tmp_path):
 
     assert clean(outs[0]) == clean(out1)
     assert counts1.read_text() == counts2.read_text()
+
+
+def make_lane_oversized(path, n_codes=8, big_reads=200):
+    """A lane whose barcode 0 has more reads than a per-process batch block
+    (batchReads 128 / 2 processes => 64-row blocks): the multi-process
+    sharded count must stream it through the side dedup table (VERDICT r03
+    Missing #4 — this path used to raise)."""
+    import hash10x_tpu  # noqa: F401
+    from hash10x_tpu.io.fqb import Fqb, save_fqb
+    from hash10x_tpu.core.encode import pack_2bit
+    rng = np.random.default_rng(33)
+    genome = rng.integers(0, 4, size=30_000).astype(np.uint8)
+    n_small = 16 * (n_codes - 1)
+    bc = np.concatenate([np.zeros(big_reads, np.int32),
+                         1 + np.repeat(np.arange(n_codes - 1, dtype=np.int32),
+                                       16)])
+    N = len(bc)
+    starts = rng.integers(0, len(genome) - 100, size=N)
+    reads = np.stack([genome[s:s + 100] for s in starts])
+    fqb = Fqb(packed=pack_2bit(reads), lengths=np.full(N, 100, np.int32),
+              barcode_ids=bc, barcode_keys=np.arange(n_codes, dtype=np.uint32),
+              read_len=100)
+    save_fqb(path, fqb)
+    return N
+
+
+@pytest.mark.slow
+def test_two_process_oversized_barcode_matches_single(tmp_path):
+    """One barcode with 200 reads (> the 64-row per-process block): the
+    2-process loopback CLI must complete and write counts byte-identical to
+    the plain single-process engine (side-table group streaming)."""
+    lane = tmp_path / "lane.fqb.npz"
+    make_lane_oversized(str(lane))
+    counts1 = tmp_path / "c1.txt"
+    counts2 = tmp_path / "c2.txt"
+    counts3 = tmp_path / "c3.txt"
+    params = ["-k", "13", "-w", "5", "-r", "17", "--batchReads", "128",
+              "--minCount", "1", "--maxCount", "60"]
+    cmds = ["--readFQB", str(lane), "--hashDist"]
+
+    # plain single-process engine (unsharded reference)
+    p = run_cli(params + cmds + ["--writeCounts", str(counts1)],
+                {"XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    out1, err1 = p.communicate(timeout=600)
+    assert p.returncode == 0, err1[-2000:]
+
+    # single process sharded over 2 devices (side-table path, 1 process)
+    p = run_cli(params + ["--shards", "2"] + cmds
+                + ["--writeCounts", str(counts3)],
+                {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    out3, err3 = p.communicate(timeout=600)
+    assert p.returncode == 0, err3[-2000:]
+
+    # two processes over loopback DCN (the branch that used to raise)
+    port = free_port()
+    procs = [run_cli(
+        ["--hosts", "2", "--hostId", str(pid),
+         "--coordinator", f"127.0.0.1:{port}"] + params + cmds
+        + ["--writeCounts", str(counts2)],
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+        for pid in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+
+    assert counts1.read_text() == counts3.read_text()
+    assert counts1.read_text() == counts2.read_text()
+
+
+@pytest.mark.slow
+def test_shard_files_with_oversized_barcode(tmp_path):
+    """--readFQBShard where ONE process's shard holds a 200-read barcode:
+    its group batches become process-exclusive global steps (the other
+    process contributes empty blocks) so side-table dedup sees only that
+    barcode's reads; counts must match the plain single-process run."""
+    import hash10x_tpu  # noqa: F401
+    from hash10x_tpu.io.fqb import load_fqb, save_fqb, Fqb
+    lane = tmp_path / "lane.fqb.npz"
+    make_lane_oversized(str(lane))
+    fqb = load_fqb(str(lane))
+    # shard 0: barcodes {0 (oversized), 2, 4, ...}; shard 1: odd barcodes
+    for pid in range(2):
+        sel = np.isin(fqb.barcode_ids,
+                      np.nonzero(fqb.barcode_keys.astype(np.int64) % 2 == pid)[0])
+        keys = np.unique(fqb.barcode_keys[fqb.barcode_ids[sel]])
+        ids = np.searchsorted(keys, fqb.barcode_keys[fqb.barcode_ids[sel]])
+        save_fqb(str(tmp_path / f"shard{pid}.fqb.npz"), Fqb(
+            packed=fqb.packed[sel], lengths=fqb.lengths[sel],
+            barcode_ids=ids.astype(np.int32), barcode_keys=keys,
+            read_len=fqb.read_len))
+
+    params = ["-k", "13", "-w", "5", "-r", "17", "--batchReads", "128",
+              "--minCount", "1", "--maxCount", "60"]
+    counts1 = tmp_path / "c1.txt"
+    counts2 = tmp_path / "c2.txt"
+
+    p = run_cli(params + ["--readFQB", str(lane), "--hashDist",
+                          "--writeCounts", str(counts1)],
+                {"XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    out1, err1 = p.communicate(timeout=600)
+    assert p.returncode == 0, err1[-2000:]
+
+    port = free_port()
+    procs = [run_cli(
+        ["--hosts", "2", "--hostId", str(pid),
+         "--coordinator", f"127.0.0.1:{port}"] + params
+        + ["--readFQBShard", str(tmp_path / "shard{host}.fqb.npz"),
+           "--hashDist", "--writeCounts", str(counts2)],
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+        for pid in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+
+    assert counts1.read_text() == counts2.read_text()
