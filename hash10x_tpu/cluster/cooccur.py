@@ -24,7 +24,6 @@ compiles once (SURVEY.md §8.3: ragged structures -> padded size-class batches).
 from __future__ import annotations
 
 import functools
-from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -228,14 +227,18 @@ def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
                                     flat=flat)
     sizes = np.diff(inc.code_offsets)
     list_lens = np.diff(inc.kmer_offsets)
-    out: List[np.ndarray] = [None] * inc.n_codes  # type: ignore
+    # labels accumulate into ONE flat position-aligned array (vectorized
+    # scatter per batch); the per-code list view materializes only for
+    # flat=False — a per-code Python loop was O(n_codes) host work and
+    # crawled at 1M codes (r03 advisor finding)
+    flat_out = np.full(inc.n_pairs, -1, np.int32)
 
     order = np.argsort(sizes, kind="stable")
-    for code in order[sizes[order] == 0]:
-        out[code] = np.zeros(0, np.int32)
     active = order[sizes[order] > 0]
     if len(active) == 0:
-        return out
+        if flat:
+            return flat_out[:0] if inc.n_pairs == 0 else flat_out
+        return [np.zeros(0, np.int32)] * inc.n_codes
 
     classes: dict = {}
     for code in active:
@@ -271,8 +274,11 @@ def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
             bi_of_k = np.repeat(np.arange(B), ks_counts)
             ki_of_k = np.arange(int(ks_counts.sum())) - np.repeat(
                 np.cumsum(ks_counts) - ks_counts, ks_counts)
-            kmer_flat = np.concatenate(
-                [inc.kmers_of(c) for c in chunk]) if B else np.zeros(0, np.int64)
+            # vectorized gather of the chunk's kmer ids (a per-code list
+            # comprehension here was O(n_codes) Python work at scale)
+            pos_flat = np.repeat(inc.code_offsets[chunk_arr],
+                                 ks_counts) + ki_of_k
+            kmer_flat = inc.code_kmers[pos_flat].astype(np.int64)
             if mode == "friend":
                 # assemble only the (B, K) kmer-id matrix on host; CL is
                 # gathered on device (the (B, K, C) host transfer dominated
@@ -298,10 +304,9 @@ def cluster_codes(inc: Incidence, min_share: int = 2, mode: str = "friend",
                 labels = np.asarray(cluster_batch(cl, valid, min_share))
             else:
                 raise ValueError(f"unknown cluster mode {mode!r}")
-            for bi, code in enumerate(chunk):
-                n = int(sizes[code])
-                out[code] = labels[bi, :n].copy()
+            # vectorized scatter into the flat position-aligned array
+            flat_out[pos_flat] = labels[bi_of_k, ki_of_k]
     if flat:
-        return (np.concatenate(out) if inc.n_pairs
-                else np.zeros(0, np.int32)).astype(np.int32, copy=False)
-    return out
+        return flat_out
+    return [flat_out[inc.code_offsets[c]:inc.code_offsets[c + 1]]
+            for c in range(inc.n_codes)]
