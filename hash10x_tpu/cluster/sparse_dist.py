@@ -524,12 +524,37 @@ def _make_propagate_block(mesh: Mesh, blk_pad: int, n_f: int, e_blk: int):
     return jax.jit(prop)
 
 
+def _make_block_writer(mesh: Mesh, Ppad: int, blk_pad: int):
+    """Write one block's replicated label vector into each shard's
+    position-aligned global-label row: shard s owns global positions
+    [poff_s, poff_s + Ppad); the intersection with the block [p0, p1) is
+    gathered from ``lab`` (labels are global positions, so they land
+    verbatim), everything else keeps its prior value."""
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P("d"), P(), P("d"), P(), P()),
+                       out_specs=P("d"), check_vma=False)
+    def wr(glab, lab, poff_sh, p0, p1):
+        pos = poff_sh[0] + jnp.arange(Ppad, dtype=jnp.int64)
+        idx = jnp.clip(pos - p0, 0, blk_pad - 1).astype(jnp.int32)
+        v = (pos >= p0) & (pos < p1)
+        return jnp.where(v, lab[idx], glab[0])[None]
+
+    return jax.jit(wr, donate_argnums=(0,))
+
+
 def _propagate_blocks(inc, mesh: Mesh, ehashes, n_f: int,
-                      target_pairs: int) -> np.ndarray:
+                      target_pairs: int, sharded_out: bool = False):
     """Run the label fixpoint block by block (barcode-aligned position
     ranges).  Per-block device state is the block's label vector plus each
     shard's contiguous slice of its p-sorted edge table; block and edge
-    widths bucket to powers of two so few fixpoint programs compile."""
+    widths bucket to powers of two so few fixpoint programs compile.
+
+    ``sharded_out`` (requires a ShardedIncidence): block results write into
+    a shard-resident (n, Ppad) global-label array aligned with
+    ``inc.keys`` — the host never assembles the O(n_pairs) label vector
+    (the config-#5 output path; the host variant returns the flat numpy
+    labels for host-incidence lanes and tests)."""
     blocks = _label_blocks(inc, target_pairs)
     n = mesh.devices.size
     sh = NamedSharding(mesh, P("d"))
@@ -544,7 +569,13 @@ def _propagate_blocks(inc, mesh: Mesh, ehashes, n_f: int,
         return jnp.searchsorted(eh[0], b).astype(jnp.int64)[None]
 
     starts = np.asarray(jax.jit(find_bounds)(ehashes, jnp.asarray(bounds)))
-    glob = np.empty(inc.n_pairs, np.int64)
+    if sharded_out:
+        Ppad = inc.keys.shape[1]
+        poff = jax.device_put(jnp.asarray(inc.pair_offsets[:-1]), sh)
+        glab = jax.device_put(jnp.zeros((n, Ppad), jnp.int32), sh)
+        writers = {}
+    else:
+        glob = np.empty(inc.n_pairs, np.int64)
     props = {}
     for i, (p0, p1) in enumerate(blocks):
         blk_pad = _pow2(max(p1 - p0, 8))
@@ -555,8 +586,14 @@ def _propagate_blocks(inc, mesh: Mesh, ehashes, n_f: int,
         lab = props[key](ehashes,
                          jax.device_put(starts[:, i].copy(), sh),
                          jnp.int64(p0), jnp.int64(p1))
-        glob[p0:p1] = np.asarray(lab)[:p1 - p0]
-    return glob
+        if sharded_out:
+            if blk_pad not in writers:
+                writers[blk_pad] = _make_block_writer(mesh, Ppad, blk_pad)
+            glab = writers[blk_pad](glab, lab, poff, jnp.int64(p0),
+                                    jnp.int64(p1))
+        else:
+            glob[p0:p1] = np.asarray(lab)[:p1 - p0]
+    return glab if sharded_out else glob
 
 
 def _label_blocks(inc, target_pairs: int):
@@ -625,11 +662,17 @@ def cluster_codes_sparse_dist(inc, mesh: Mesh, min_friend_share: int = 8,
             raise RuntimeError("distributed cluster edge table spilled; "
                                "raise shard count or edge capacity")
         from ..dist.sharded_inc import ShardedIncidence, canon_labels_sharded
+        if label_block_pairs and isinstance(inc, ShardedIncidence) and flat:
+            # config-#5 memory path, device end to end: per-block label
+            # vectors write into a shard-resident global-label array and
+            # canonicalize shard-side — nothing O(n_pairs) ever lands on
+            # host or on one device (SCALING.md phase 3)
+            glab = _propagate_blocks(inc, mesh, ehashes, len(fkeys),
+                                     label_block_pairs, sharded_out=True)
+            return canon_labels_sharded(inc, glab, sharded_lab=True)
         if label_block_pairs:
-            # config-#5 memory path: per-block label vectors; block results
-            # assemble on host (the one remaining O(n_pairs) host boundary —
-            # blocks are an explicit opt-in for lanes past replicated-label
-            # scale, SCALING.md phase 3)
+            # host-incidence lanes (and the non-flat compat surface): block
+            # results assemble on host
             glob = _propagate_blocks(inc, mesh, ehashes, len(fkeys),
                                      label_block_pairs)
         elif isinstance(inc, ShardedIncidence) and flat:

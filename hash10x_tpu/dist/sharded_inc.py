@@ -47,7 +47,7 @@ from ..table import sorted_table as st
 from . import sharded_sorted as SS
 
 __all__ = ["ShardedIncidence", "ShardedLabels", "build_sharded_incidence",
-           "canon_labels_sharded"]
+           "canon_labels_sharded", "split_sharded"]
 
 _U64MAX = np.uint64(U64MAX)
 
@@ -151,7 +151,8 @@ class ShardedIncidence:
     its first pair.  The host never holds O(n_pairs)."""
 
     def __init__(self, mesh: Mesh, keys, pair_counts: np.ndarray,
-                 n_kmers: int, n_codes: int):
+                 n_kmers: int, n_codes: int,
+                 code_bounds: Optional[np.ndarray] = None):
         self.mesh = mesh
         self.n = mesh.devices.size
         self.keys = keys
@@ -161,7 +162,12 @@ class ShardedIncidence:
         self.n_pairs = int(self.pair_counts.sum())
         self.n_kmers = n_kmers
         self.n_codes = n_codes
-        self.code_bounds = SS.code_range_bounds(n_codes, self.n)
+        # shard s owns codes [code_bounds[s], code_bounds[s+1]); uniform by
+        # default, custom for derived incidences whose code ranges follow
+        # the parent's shard partition (split_sharded)
+        self.code_bounds = (np.asarray(code_bounds, np.int64)
+                            if code_bounds is not None
+                            else SS.code_range_bounds(n_codes, self.n))
         # lazily built kmer-major half (build_inverted)
         self.inv_keys = None   # (n, Pi) u64: kmer * n_codes + code
         self.inv_pos = None    # (n, Pi) int64: global fwd position
@@ -403,16 +409,142 @@ class ShardedLabels:
             [c[s, :self.pair_counts[s]] for s in range(c.shape[0])]
         ).astype(np.int32) if self.n_pairs else np.zeros(0, np.int32)
 
+    def molecule_stats(self, inc_sh: "ShardedIncidence"
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-molecule (code, label, size) rows, globally ascending by
+        (code, canonical label) — the ``--clusterReport``/``--clusterSplit``
+        aggregation computed SHARD-SIDE: each shard sorts its
+        (code * K + label) keys, finds the distinct-run boundaries, and
+        emits (key, run length) pairs; only O(molecules) ever crosses to
+        host (codes never cross shards and shards own ascending code
+        ranges, so the per-shard runs concatenate into the global order).
+        The host path materializes the full CSR + flat labels instead —
+        O(n_pairs) host RAM, the config-#5 wall."""
+        mesh, n = self.mesh, self.canon.shape[0]
+        nk = max(inc_sh.n_kmers, 1)
+        Ppad = inc_sh.keys.shape[1]
+        K = jnp.int64(Ppad + 1)
+        big = jnp.int64(2) ** 62
 
-def canon_labels_sharded(inc_sh: "ShardedIncidence", lab_rep
-                         ) -> ShardedLabels:
-    """Canonical per-barcode cluster ids from REPLICATED global min-position
-    labels, computed shard-side (codes never cross shards, so per-shard
-    dense ranks ARE global): local label = global min position minus the
-    code's first global position; canonical id = dense rank of the label
-    among the code's distinct labels (first-appearing-k-mer numbering, the
-    oracle's).  Also counts distinct (code, label) pairs per shard — the
-    molecule count — merged with a psum (the axon-supported collective)."""
+        def combined_of(keys, canon):
+            valid = keys != _U64MAX
+            code = (keys // jnp.uint64(nk)).astype(jnp.int64)
+            return jnp.where(valid, code * K + canon.astype(jnp.int64),
+                             big + jnp.arange(Ppad, dtype=jnp.int64))
+
+        per = self.mol_counts_per_shard(inc_sh)
+        Upad = _pow2(max(int(per.max(initial=0)), 8))
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P("d"), P("d")),
+                           out_specs=(P("d"), P("d")),
+                           check_vma=False)
+        def stats(keys_sh, canon_sh):
+            s = jnp.sort(combined_of(keys_sh[0], canon_sh[0]))
+            valid = s < big
+            nv = jnp.sum(valid).astype(jnp.int64)
+            i = jnp.arange(Ppad, dtype=jnp.int64)
+            is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+            bpos = jnp.sort(jnp.where(is_new & valid, i, nv))
+            nxt = jnp.concatenate([bpos[1:], nv[None]])
+            cnt = (nxt - bpos).astype(jnp.int64)   # pads: nv - nv = 0
+            uv = s[jnp.clip(bpos, 0, Ppad - 1)]
+            return uv[:Upad][None], cnt[:Upad][None]
+
+        uniq, cnt = (_host(mesh, x) for x in
+                     jax.jit(stats)(inc_sh.keys, self.canon))
+        keys = np.concatenate([uniq[s, :per[s]] for s in range(n)]
+                              ).astype(np.int64) if n else np.zeros(0, np.int64)
+        sizes = np.concatenate([cnt[s, :per[s]] for s in range(n)])
+        return keys // int(K), keys % int(K), sizes
+
+    def mol_counts_per_shard(self, inc_sh: "ShardedIncidence") -> np.ndarray:
+        """(n,) molecules owned by each shard (codes never cross shards)."""
+        mesh = self.mesh
+        nk = max(inc_sh.n_kmers, 1)
+        Ppad = inc_sh.keys.shape[1]
+        K = jnp.int64(Ppad + 1)
+        big = jnp.int64(2) ** 62
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P("d"), P("d")), out_specs=P("d"),
+                           check_vma=False)
+        def n_mol(keys_sh, canon_sh):
+            keys = keys_sh[0]
+            valid = keys != _U64MAX
+            code = (keys // jnp.uint64(nk)).astype(jnp.int64)
+            comb = jnp.where(valid,
+                             code * K + canon_sh[0].astype(jnp.int64),
+                             big + jnp.arange(Ppad, dtype=jnp.int64))
+            s = jnp.sort(comb)
+            is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+            return jnp.sum(is_new & (s < big)).astype(jnp.int64)[None]
+
+        return np.asarray(_host(mesh, jax.jit(n_mol)(inc_sh.keys,
+                                                     self.canon)), np.int64)
+
+
+def split_sharded(inc_sh: "ShardedIncidence", labels_sh: "ShardedLabels"
+                  ) -> "ShardedIncidence":
+    """(code, cluster) -> new molecule codes, SHARD-SIDE (the
+    ``--clusterSplit`` rewrite of SURVEY.md §3.1 #9 at config-#5 scale):
+    each shard re-keys its pairs as ``molecule_id * n_kmers + kmer`` and
+    re-sorts LOCALLY — molecule ids are per-shard dense ranks of the
+    (code, label) keys plus the shard's molecule offset, which IS the
+    global (code, label)-ascending numbering (codes never cross shards and
+    shard code ranges ascend), exactly the oracle's ``split_codes``
+    ordering.  The result is a ShardedIncidence over the molecule code
+    axis (non-uniform code bounds = the molecule offsets); nothing
+    O(n_pairs) lands on host."""
+    mesh, n = inc_sh.mesh, inc_sh.n
+    nk_u = jnp.uint64(max(inc_sh.n_kmers, 1))
+    Ppad = inc_sh.keys.shape[1]
+    K = jnp.int64(Ppad + 1)
+    big = jnp.int64(2) ** 62
+    per = labels_sh.mol_counts_per_shard(inc_sh)
+    moff = np.concatenate([[0], np.cumsum(per)]).astype(np.int64)
+    moff_d = jax.device_put(jnp.asarray(moff[:-1]),
+                            NamedSharding(mesh, P("d")))
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P("d"), P("d"), P("d")), out_specs=P("d"),
+                       check_vma=False)
+    def rekey(keys_sh, canon_sh, moff_sh):
+        keys = keys_sh[0]
+        valid = keys != _U64MAX
+        code = (keys // nk_u).astype(jnp.int64)
+        comb = jnp.where(valid, code * K + canon_sh[0].astype(jnp.int64),
+                         big + jnp.arange(Ppad, dtype=jnp.int64))
+        s = jnp.sort(comb)
+        is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+        dense = jnp.cumsum(is_new.astype(jnp.int64)) - 1
+        idx = jnp.minimum(jnp.searchsorted(s, comb, method="sort"), Ppad - 1)
+        rank = dense[idx]                    # local molecule rank
+        newcode = (moff_sh[0] + rank).astype(jnp.uint64)
+        nkey = jnp.where(valid, newcode * nk_u + (keys % nk_u), _U64MAX)
+        return jnp.sort(nkey)[None]
+
+    new_keys = jax.jit(rekey)(inc_sh.keys, labels_sh.canon, moff_d)
+    return ShardedIncidence(mesh, new_keys, inc_sh.pair_counts,
+                            inc_sh.n_kmers, int(moff[-1]), code_bounds=moff)
+
+
+def canon_labels_sharded(inc_sh: "ShardedIncidence", lab,
+                         sharded_lab: bool = False) -> ShardedLabels:
+    """Canonical per-barcode cluster ids from global min-position labels,
+    computed shard-side (codes never cross shards, so per-shard dense ranks
+    ARE global): local label = global min position minus the code's first
+    global position; canonical id = dense rank of the label among the code's
+    distinct labels (first-appearing-k-mer numbering, the oracle's).  Also
+    counts distinct (code, label) pairs per shard — the molecule count —
+    merged with a psum (the axon-supported collective).
+
+    ``lab`` is either the REPLICATED (n_pairs,) label vector (the default
+    propagation path) or — with ``sharded_lab=True`` — a per-shard (n, Ppad)
+    array position-aligned with ``inc_sh.keys`` (the block-propagation path,
+    where a replicated vector would not fit: labels arrive block by block
+    and are written shard-resident, never materializing O(n_pairs) anywhere
+    unsharded)."""
     mesh, n = inc_sh.mesh, inc_sh.n
     nk = max(inc_sh.n_kmers, 1)
     Ppad = inc_sh.keys.shape[1]
@@ -421,9 +553,10 @@ def canon_labels_sharded(inc_sh: "ShardedIncidence", lab_rep
                           NamedSharding(mesh, P("d")))
     K = jnp.int64(Ppad + 1)
     big = jnp.int64(2) ** 62
+    lab_spec = P("d") if sharded_lab else P()
 
     @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=(P("d"), P(), P("d")),
+                       in_specs=(P("d"), lab_spec, P("d")),
                        out_specs=(P("d"), P()),
                        check_vma=False)
     def body(keys_sh, lab, poff_sh):
@@ -431,7 +564,10 @@ def canon_labels_sharded(inc_sh: "ShardedIncidence", lab_rep
         valid = keys != _U64MAX
         i = jnp.arange(Ppad, dtype=jnp.int64)
         pos = poff_sh[0] + i
-        glab = lab[jnp.clip(pos, 0, n_p - 1)].astype(jnp.int64)
+        if sharded_lab:
+            glab = lab[0].astype(jnp.int64)
+        else:
+            glab = lab[jnp.clip(pos, 0, n_p - 1)].astype(jnp.int64)
         code = keys // jnp.uint64(nk)
         is_new = jnp.concatenate([jnp.ones((1,), bool),
                                   code[1:] != code[:-1]])
@@ -453,6 +589,6 @@ def canon_labels_sharded(inc_sh: "ShardedIncidence", lab_rep
         n_mol = jnp.sum(new2 & (s < big)).astype(jnp.int64)
         return canon[None], jax.lax.psum(n_mol, "d")
 
-    canon, n_mol = jax.jit(body)(inc_sh.keys, lab_rep, poff)
+    canon, n_mol = jax.jit(body)(inc_sh.keys, lab, poff)
     return ShardedLabels(mesh, canon, inc_sh.pair_counts,
                          int(_host(mesh, n_mol)))

@@ -137,7 +137,8 @@ class Engine:
         # host flat view materializes lazily; `clusters` is a lazy view
         self._labels_host: Optional[np.ndarray] = None
         self._labels_sh = None  # dist.sharded_inc.ShardedLabels
-        self.split_inc: Optional[Incidence] = None
+        self._split_inc_host: Optional[Incidence] = None
+        self._split_inc_sh = None  # ShardedIncidence over molecule codes
         self.split_origin: Optional[np.ndarray] = None
         self.n_reads_counted = 0
         self._read_len = 0
@@ -166,7 +167,8 @@ class Engine:
         self._inc_sh = None
         self._labels_host = None
         self._labels_sh = None
-        self.split_inc = None
+        self._split_inc_host = None
+        self._split_inc_sh = None
         self.split_origin = None
         self.n_reads_counted = 0
         self._filled_bound = 0
@@ -195,6 +197,22 @@ class Engine:
         """Whichever incidence exists, preferring the device-sharded one
         (both expose n_pairs / n_codes / n_kmers / code_offsets)."""
         return self._inc_sh if self._inc_sh is not None else self._inc_host
+
+    @property
+    def split_inc(self) -> Optional[Incidence]:
+        """Host split incidence (molecule-code axis).  Sharded splits keep
+        it device-sharded (``_split_inc_sh``); this view materializes ONCE
+        on explicit host commands (save/tests) — ``--clusterSplit`` itself
+        never allocates O(n_pairs) on host."""
+        if self._split_inc_host is None and self._split_inc_sh is not None:
+            self._split_inc_host = self._split_inc_sh.to_host()
+        return self._split_inc_host
+
+    @split_inc.setter
+    def split_inc(self, v) -> None:
+        """A host assignment REPLACES any sharded split state."""
+        self._split_inc_host = v
+        self._split_inc_sh = None
 
     @property
     def cluster_labels(self) -> Optional[np.ndarray]:
@@ -1833,13 +1851,20 @@ class Engine:
         if inc_any is None:
             raise RuntimeError("cluster requires incidence (run incidence first)")
         cfg = self.cfg
-        if (cfg.n_shards > 1 and cfg.cluster_mode == "friend"
-                and cfg.max_friends == 0):
+        # the distributed path engages on n_shards > 1 OR whenever a
+        # device-sharded incidence already exists (e.g. a 1-shard sharded
+        # pipeline driven on a single chip): clustering over a
+        # ShardedIncidence through the host path would materialize the host
+        # CSR, defeating the device-resident contract
+        if ((cfg.n_shards > 1 or self._inc_sh is not None)
+                and cfg.cluster_mode == "friend" and cfg.max_friends == 0):
             from .cluster.sparse_dist import cluster_codes_sparse_dist
             from .dist import sharded as D
             if jax.process_count() > 1:
                 from .dist import multihost
                 mesh = multihost.global_mesh(cfg.n_shards)
+            elif self._inc_sh is not None:
+                mesh = self._inc_sh.mesh
             else:
                 mesh = D.make_mesh(cfg.n_shards)
             # auto-engage barcode-block propagation when the replicated
@@ -1904,9 +1929,14 @@ class Engine:
         Fully vectorized (no per-code Python loop — a wall at 1M+ codes): new
         code ids are the dense ranks of distinct (code, label) pairs in
         (code, label)-ascending order, exactly the oracle's ``split_codes``
-        numbering."""
-        if self.cluster_labels is None:
+        numbering.  Sharded runs split SHARD-SIDE (``split_sharded``): each
+        shard re-keys and re-sorts its own pair slice; only the O(molecules)
+        origin table crosses to host."""
+        if self._labels_host is None and self._labels_sh is None:
             raise RuntimeError("split requires clusters")
+        if (self._labels_sh is not None and self._inc_sh is not None
+                and self._inc_host is None):
+            return self._split_sharded()
         inc = self.inc
         flat = self._cluster_flat().astype(np.int64)
         if inc.n_pairs == 0:
@@ -1929,6 +1959,18 @@ class Engine:
         self.split_origin = np.stack(
             [(uniq // K).astype(np.int32), (uniq % K).astype(np.int32)], axis=1)
         self.timer.stage(f"split: {len(uniq)} molecule codes")
+
+    def _split_sharded(self) -> None:
+        """``--clusterSplit`` over device-sharded labels: the split pair set
+        stays shard-resident (``dist.sharded_inc.split_sharded``); the host
+        receives only the (molecules, 2) origin table."""
+        from .dist.sharded_inc import split_sharded
+        codes_m, labels_m, _ = self._labels_sh.molecule_stats(self._inc_sh)
+        self._split_inc_sh = split_sharded(self._inc_sh, self._labels_sh)
+        self._split_inc_host = None
+        self.split_origin = np.stack([codes_m.astype(np.int32),
+                                      labels_m.astype(np.int32)], axis=1)
+        self.timer.stage(f"split: {len(codes_m)} molecule codes")
 
     def write_counts(self, out=sys.stdout) -> None:
         """Dump the full (hash, count) table as text, hash-ascending — the
@@ -1955,9 +1997,15 @@ class Engine:
     def report(self, out=sys.stdout) -> None:
         """Cluster report (``--clusterReport``): diffable text.  All counts are
         computed vectorized over the flat label array (the per-code Python loop
-        was O(n_codes) numpy calls — minutes at 1M codes)."""
-        if self.cluster_labels is None:
+        was O(n_codes) numpy calls — minutes at 1M codes).  Sharded runs
+        aggregate SHARD-SIDE (``_report_sharded``): the host sees only
+        O(n_codes + molecules), never the pair set — config-#5 lanes can
+        report without materializing the host CSR."""
+        if self._labels_host is None and self._labels_sh is None:
             raise RuntimeError("report requires clusters")
+        if (self._labels_sh is not None and self._inc_sh is not None
+                and self._inc_host is None):
+            return self._report_sharded(out)
         inc = self.inc
         n_kmers_per_code = np.diff(inc.code_offsets)
         flat = self._cluster_flat().astype(np.int64)
@@ -1974,16 +2022,35 @@ class Engine:
             cluster_sizes = np.zeros(0, np.int64)
             cl_code = np.zeros(0, np.int64)
             n_clusters = np.zeros(inc.n_codes, np.int64)
+        self._write_report_lines(out, inc.n_codes, n_kmers_per_code,
+                                 n_clusters, cluster_sizes)
+
+    def _report_sharded(self, out) -> None:
+        """Report over device-sharded labels: per-code cluster sizes come
+        from ``ShardedLabels.molecule_stats`` (O(molecules) host), per-code
+        k-mer counts from the lazy O(n_codes) code offsets — byte-identical
+        to the host path (tests), with no O(n_pairs) host allocation."""
+        inc_sh = self._inc_sh
+        codes_m, _, sizes_m = self._labels_sh.molecule_stats(inc_sh)
+        n_kmers_per_code = np.diff(inc_sh.code_offsets)
+        n_clusters = np.bincount(codes_m, minlength=inc_sh.n_codes) \
+            if len(codes_m) else np.zeros(inc_sh.n_codes, np.int64)
+        self._write_report_lines(out, inc_sh.n_codes, n_kmers_per_code,
+                                 n_clusters, sizes_m)
+
+    @staticmethod
+    def _write_report_lines(out, n_codes, n_kmers_per_code, n_clusters,
+                            cluster_sizes) -> None:
         cl_starts = np.concatenate([[0], np.cumsum(n_clusters)]).tolist()
         sizes_list = cluster_sizes.tolist()
         nk_list = n_kmers_per_code.tolist()
         ncl_list = (n_clusters.tolist() if len(n_clusters)
-                    else [0] * inc.n_codes)
+                    else [0] * n_codes)
         # stream in bounded chunks: the whole report is O(n_codes) text and
         # must never sit in memory twice at 1M+ codes
         CHUNK = 1 << 16
-        for c0 in range(0, inc.n_codes, CHUNK):
-            c1 = min(c0 + CHUNK, inc.n_codes)
+        for c0 in range(0, n_codes, CHUNK):
+            c1 = min(c0 + CHUNK, n_codes)
             out.write("".join(
                 f"code {c} nKmers {nk_list[c]} nClusters {ncl_list[c]} sizes "
                 f"{','.join(map(str, sizes_list[cl_starts[c]:cl_starts[c + 1]]))}\n"

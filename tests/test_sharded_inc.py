@@ -119,6 +119,32 @@ def test_cluster_over_sharded_incidence_matches(rng, n_dev):
     assert got.n_molecules == n_mol
 
 
+@pytest.mark.parametrize("n_dev,block", [(2, 40), (8, 40), (8, 150)])
+def test_label_blocks_over_sharded_incidence_stays_device(rng, n_dev, block):
+    """label_block_pairs over a ShardedIncidence must return ShardedLabels
+    (block results written shard-resident, canonicalized shard-side — the
+    host never assembles the O(n_pairs) label vector) and equal the
+    single-device sparse labels exactly."""
+    from hash10x_tpu.cluster import sparse as SP
+    from hash10x_tpu.cluster import sparse_dist as SD
+    pairs, inc = random_pairs(rng, n_kmers=70, n_codes=28, density=0.18)
+    mesh = mesh_of(n_dev)
+    sh = SI.build_sharded_incidence(fake_low_sharded_table(pairs, mesh),
+                                    inc.n_kmers, inc.n_codes)
+    want = SP.cluster_codes_sparse(inc, min_friend_share=2, flat=True)
+    got = SD.cluster_codes_sparse_dist(sh, mesh, min_friend_share=2,
+                                       chunk=256, flat=True,
+                                       label_block_pairs=block)
+    assert isinstance(got, SI.ShardedLabels), \
+        "block path over ShardedIncidence fell back to host assembly"
+    assert got.to_host().tolist() == want.tolist()
+    code_of_p = np.repeat(np.arange(inc.n_codes, dtype=np.int64),
+                          np.diff(inc.code_offsets))
+    n_mol = len(np.unique(code_of_p * (int(want.max()) + 1) + want)) \
+        if len(want) else 0
+    assert got.n_molecules == n_mol
+
+
 def test_engine_sharded_cluster_never_materializes_host_inc():
     """--codeClusters on the sharded path: the host incidence must stay
     unmaterialized through cluster(); report() then materializes lazily."""
@@ -143,7 +169,8 @@ def test_engine_sharded_cluster_never_materializes_host_inc():
         "cluster() materialized the host incidence on the sharded path"
     assert eng._labels_sh is not None and eng._labels_host is None, \
         "cluster() materialized host labels on the sharded path"
-    # report still works (lazy host view) and matches the plain engine
+    # report matches the plain engine — and aggregates SHARD-SIDE: the host
+    # incidence and flat labels stay unmaterialized through report() too
     ref = Engine(EngineConfig(spec=HashSpec(k=21, w=7, seed=17),
                               table_bits=16, batch_reads=512,
                               min_count=2, max_count=30,
@@ -156,3 +183,78 @@ def test_engine_sharded_cluster_never_materializes_host_inc():
     eng.report(a)
     ref.report(b)
     assert a.getvalue() == b.getvalue()
+    assert eng._inc_host is None, \
+        "report() materialized the host incidence on the sharded path"
+    assert eng._labels_host is None, \
+        "report() materialized host flat labels on the sharded path"
+
+
+def _lane_engines():
+    from hash10x_tpu.engine import Engine, EngineConfig
+    from hash10x_tpu.io import fqb as FB
+    from hash10x_tpu.io.sim import SimConfig, simulate
+    sim = simulate(SimConfig(genome_len=50_000, n_barcodes=16,
+                             molecules_per_barcode=2, molecule_len=4000,
+                             reads_per_molecule=25, read_len=110, seed=9))
+    fqb = FB.from_read_batch(sim.reads)
+    mk = lambda n: Engine(EngineConfig(spec=HashSpec(k=21, w=7, seed=17),
+                                       table_bits=16, batch_reads=512,
+                                       min_count=2, max_count=30,
+                                       min_friend_share=10, n_shards=n),
+                          log=None)
+    return fqb, mk
+
+
+def test_engine_sharded_split_matches_host():
+    """--clusterSplit on the sharded path: the split pair set stays
+    shard-resident (split_sharded); origin table and the lazily
+    materialized molecule-code CSR are byte-identical to the host split."""
+    fqb, mk = _lane_engines()
+    eng, ref = mk(8), mk(1)
+    for e in (eng, ref):
+        e.count(fqb)
+        e.filter()
+        e.incidence(fqb)
+        e.cluster()
+        e.split()
+    assert eng._split_inc_sh is not None and eng._split_inc_host is None, \
+        "split() materialized the host split incidence on the sharded path"
+    assert eng._inc_host is None, \
+        "split() materialized the host incidence on the sharded path"
+    assert (eng.split_origin == ref.split_origin).all()
+    s, r = eng.split_inc, ref.split_inc  # lazy host view (explicit command)
+    assert s.n_codes == r.n_codes and s.n_kmers == r.n_kmers
+    assert (s.code_offsets == r.code_offsets).all()
+    assert (s.code_kmers == r.code_kmers).all()
+    assert (s.kmer_offsets == r.kmer_offsets).all()
+    assert (s.kmer_codes == r.kmer_codes).all()
+
+
+def test_engine_one_shard_sharded_pipeline_stays_device():
+    """A 1-shard sharded pipeline (the single-chip drive of the pod path:
+    bench/verify drive _count_sharded directly) must cluster/split/report
+    through the SHARDED branches — cluster() keys on the existing
+    ShardedIncidence, not just cfg.n_shards — and never materialize host
+    O(n_pairs) state, byte-identical to the plain engine."""
+    import io
+    fqb, mk = _lane_engines()
+    eng, ref = mk(1), mk(1)
+    ref.count(fqb)
+    ref.filter()
+    ref.incidence(fqb)
+    ref.cluster()
+    ref.split()
+    eng._count_sharded(fqb)
+    eng.filter()
+    eng._incidence_sharded(fqb)
+    eng.cluster()
+    eng.split()
+    assert eng._inc_sh is not None and eng._labels_sh is not None
+    assert eng._inc_host is None and eng._labels_host is None \
+        and eng._split_inc_host is None, \
+        "1-shard sharded pipeline materialized host O(n_pairs) state"
+    a, b = io.StringIO(), io.StringIO()
+    eng.report(a)
+    ref.report(b)
+    assert a.getvalue() == b.getvalue()
+    assert (eng.split_origin == ref.split_origin).all()
