@@ -280,13 +280,18 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     splitters_d = jnp.asarray(range_splitters(spec, n, range_eff))
     shard_mask = jnp.uint64(n - 1)
 
-    def dest_of(keys):
-        valid = keys != _U64MAX
-        if routing == "range":
-            d = jnp.searchsorted(splitters_d, keys, side="right"
-                                 ).astype(jnp.int32)
-            return jnp.where(valid, d, n)
-        return jnp.where(valid, (keys & shard_mask).astype(jnp.int32), n)
+    # range routing is MONOTONE in the key (dest = #splitters <= key), so a
+    # key-sorted array is already dest-sorted and lane boundaries fall out of
+    # one searchsorted against the splitters — the separate (dest, key) sort
+    # the r03 design paid per batch is free (the key sort doubles as the
+    # pre-reduction / pad-strip sort).  U64MAX pads exceed every real hash
+    # value (hashes span < 64 bits), landing past bounds[-1] = U64MAX.
+    def range_starts(hs):
+        bounds = jnp.concatenate(
+            [splitters_d, jnp.asarray([_U64MAX], jnp.uint64)])
+        return jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.searchsorted(hs, bounds).astype(jnp.int32)])
 
     retained_rows = retained_off = None
     if pair_retained_sharded is not None:
@@ -377,14 +382,14 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             return max(int(E), 8)  # single lane: exact, no pads, no drops
         return max(min(int(E), int(2 * E // n + 4096)), 8)
 
-    def to_lanes(ds, payloads_pads, cap):
+    def to_lanes(starts, payloads_pads, cap):
         """Dest-sorted payload arrays -> per-dest (n, cap) lane stacks +
-        dropped count.  Contiguous per-dest segments become lanes via static
-        slices (argsort + gathers and a (row, pos) scatter all lower as
-        sort-based emulation on TPU; the caller's one multi-operand lax.sort
-        + these slices replace them).  ``payloads_pads`` = [(array, pad)]."""
-        starts = jnp.searchsorted(ds, jnp.arange(n + 1, dtype=jnp.int32)
-                                  ).astype(jnp.int32)
+        dropped count.  ``starts`` is the (n+1,) int32 per-dest segment
+        boundary vector (from ``range_starts`` for range routing, or a
+        searchsorted over the dest vector for low-bit routing); contiguous
+        per-dest segments become lanes via static slices (argsort + gathers
+        and a (row, pos) scatter all lower as sort-based emulation on TPU).
+        ``payloads_pads`` = [(array, pad)]."""
         lane_idx = jnp.arange(cap, dtype=jnp.int32)
         padded = [jnp.concatenate([x, jnp.full((cap,), pv, x.dtype)])
                   for x, pv in payloads_pads]
@@ -457,16 +462,21 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
         E = flat_h.shape[0]
         cap = lane_cap(E)
         if pair:
-            # hop 1: route (hash, barcode) to the hash's range-owner shard
-            d1 = jnp.where(flat_h != _U64MAX,
-                           jnp.searchsorted(splitters_d, flat_h, side="right"
-                                            ).astype(jnp.int32), n)
-            ds, hs, bs = jax.lax.sort(
-                (d1, flat_h, flat_bc.astype(jnp.int32)),
-                dimension=0, num_keys=1)
-            (sh_l, sb_l), drop1 = to_lanes(ds, [(hs, _U64MAX), (bs, -1)], cap)
-            rh = a2a(sh_l).reshape(-1)
-            rb = a2a(sb_l).reshape(-1)
+            if n == 1:
+                # single shard: routing is the identity on BOTH hops — no
+                # dest sorts, no lanes, no drops (cap >= E exactly)
+                rh, rb = flat_h, flat_bc.astype(jnp.int32)
+                drop1 = drop2 = jnp.uint32(0)
+            else:
+                # hop 1: route (hash, barcode) to the hash's range-owner
+                # shard — the hash sort IS the dest sort (range_starts)
+                rh_s, rb_s = jax.lax.sort(
+                    (flat_h, flat_bc.astype(jnp.int32)),
+                    dimension=0, num_keys=1)
+                (sh_l, sb_l), drop1 = to_lanes(
+                    range_starts(rh_s), [(rh_s, _U64MAX), (rb_s, -1)], cap)
+                rh = a2a(sh_l).reshape(-1)
+                rb = a2a(sb_l).reshape(-1)
             # owner-side canonical rank: local slice rank + shard offset
             idx = jnp.searchsorted(rrow, rh)
             idx_c = jnp.minimum(idx, rrow.shape[0] - 1)
@@ -474,34 +484,55 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
             rank = roffv.astype(jnp.uint64) + idx_c.astype(jnp.uint64)
             key = jnp.where(found,
                             rb.astype(jnp.uint64) * n_kmers_u + rank, _U64MAX)
-            # hop 2: route pair keys to their low-bits owner for dedup
-            cap2 = lane_cap(key.shape[0])
-            d2 = jnp.where(key != _U64MAX,
-                           (key & shard_mask).astype(jnp.int32), n)
-            ds2, ks2 = jax.lax.sort((d2, key), dimension=0, num_keys=1)
-            (sk_l,), drop2 = to_lanes(ds2, [(ks2, _U64MAX)], cap2)
-            flat = a2a(sk_l).reshape(-1)
-            uh, uw, over = st.dedup_weighted(flat, slots)
+            if n > 1:
+                # hop 2: route pair keys to their low-bits owner for dedup
+                # (code-major keys have no range structure; keep the dest
+                # sort here)
+                cap2 = lane_cap(key.shape[0])
+                d2 = jnp.where(key != _U64MAX,
+                               (key & shard_mask).astype(jnp.int32), n)
+                ds2, ks2 = jax.lax.sort((d2, key), dimension=0, num_keys=1)
+                starts2 = jnp.searchsorted(
+                    ds2, jnp.arange(n + 1, dtype=jnp.int32)).astype(jnp.int32)
+                (sk_l,), drop2 = to_lanes(starts2, [(ks2, _U64MAX)], cap2)
+                key = a2a(sk_l).reshape(-1)
+            uh, uw, over = st.dedup_weighted(key, slots)
             drops = drops + cap_over + drop1 + drop2 + over
         else:
-            dest = dest_of(flat_h)
-            # dest-sort carrying payloads, then static-slice lane build
             if count_mode == "barcodes":
-                ds, hs, bs = jax.lax.sort(
-                    (dest, flat_h, flat_bc.astype(jnp.int32)),
-                    dimension=0, num_keys=1)
-                (send, send_bc), n_drop = to_lanes(
-                    ds, [(hs, _U64MAX), (bs, -1)], cap)
-                flat = a2a(send).reshape(-1)
-                fb = a2a(send_bc).reshape(-1)
+                if n == 1:
+                    # identity routing: feed emissions straight into the
+                    # (hash, barcode) pre-reduction (its own sort suffices)
+                    flat, fb = flat_h, flat_bc.astype(jnp.int32)
+                    n_drop = jnp.uint32(0)
+                else:
+                    hs, bs = jax.lax.sort(
+                        (flat_h, flat_bc.astype(jnp.int32)),
+                        dimension=0, num_keys=1)
+                    (send, send_bc), n_drop = to_lanes(
+                        range_starts(hs), [(hs, _U64MAX), (bs, -1)], cap)
+                    flat = a2a(send).reshape(-1)
+                    fb = a2a(send_bc).reshape(-1)
                 # owner-side (hash, barcode) pre-reduction: weight = distinct
                 # barcodes of the hash in THIS batch — exact for barcodes
                 # split across devices (they meet at the owner) and across
                 # batches (barcode-aligned batching, engine contract)
                 uh, uw, over = st.dedup_pairs_weighted(flat, fb, slots)
+            elif n == 1:
+                # single shard, occurrence counts: the plain engine's exact
+                # discipline — ONE sort strips pads (weights are 1 per real
+                # key; the LSM merge sums them), no routing machinery at all.
+                # This is the whole difference between the 1-shard sharded
+                # path and the plain hot path (3 sorts/batch -> 1).
+                srt = jnp.sort(flat_h)
+                over = jnp.sum(srt[slots:] != _U64MAX).astype(jnp.uint32)
+                uh = srt[:slots]
+                uw = (uh != _U64MAX).astype(jnp.uint32)
+                n_drop = jnp.uint32(0)
             else:
-                ds, hs = jax.lax.sort((dest, flat_h), dimension=0, num_keys=1)
-                (send,), n_drop = to_lanes(ds, [(hs, _U64MAX)], cap)
+                hs = jnp.sort(flat_h)
+                (send,), n_drop = to_lanes(range_starts(hs),
+                                           [(hs, _U64MAX)], cap)
                 flat = a2a(send).reshape(-1)
                 uh, uw, over = st.dedup_weighted(flat, slots)
             drops = drops + cap_over + n_drop + over
