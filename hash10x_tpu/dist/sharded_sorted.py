@@ -634,6 +634,88 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
                 donate_argnums=(0, 1, 2))
         return _steps[key]
 
+    def get_scan_stacked(S: int, perdev: int, with_nmask: bool,
+                         force_jnp: bool, slots: int):
+        """Scan-fused dispatch over a DEVICE-SHARDED stacked block: the
+        feeder stacks S batches device-major into one global (S*batch_reads,
+        ...) array (each device's slice holds its S per-batch row blocks,
+        batch-ascending), so one dispatch + one host->device construction
+        covers S batches — the multi-process analog of ``get_scan``'s
+        replicated-chunk carve (which assumes single-host feeding).  Pad
+        batches are all-zero rows (length 0, barcode -1): they emit only
+        U64MAX keys and their buffer writes land past the caller's buf_n
+        advance (overwritten or flush-sliced away)."""
+        key = ("scanstk", S, perdev, with_nmask, force_jnp, slots)
+        if key not in _steps:
+            ret_specs = (P("d"), P("d")) if pair else ()
+
+            def body(buf, bufw, drops, *args):
+                if pair:
+                    rrow, roffv = args[0][0], args[1][0]
+                    args = args[2:]
+                else:
+                    rrow = roffv = None
+                if with_nmask:
+                    gp, gl, gc, gnm, base = args
+                else:
+                    gp, gl, gc, base = args
+                    gnm = None
+                buf, bufw, drops = buf[0], bufw[0], drops[0]
+
+                def it(carry, i):
+                    b, w, dr = carry
+                    pk = jax.lax.dynamic_slice(
+                        gp, (i * perdev, jnp.int32(0)), (perdev, gp.shape[1]))
+                    ln = jax.lax.dynamic_slice(gl, (i * perdev,), (perdev,))
+                    bc = jax.lax.dynamic_slice(gc, (i * perdev,), (perdev,))
+                    nm = None
+                    if gnm is not None:
+                        nm = jax.lax.dynamic_slice(
+                            gnm, (i * perdev, jnp.int32(0)),
+                            (perdev, gnm.shape[1]))
+                    b, w, dr = core(b, w, dr, pk, ln, bc,
+                                    base + i * jnp.int32(slots), nm,
+                                    force_jnp, rrow, roffv, slots)
+                    return (b, w, dr), None
+
+                (buf, bufw, drops), _ = jax.lax.scan(
+                    it, (buf, bufw, drops), jnp.arange(S, dtype=jnp.int32))
+                return buf[None], bufw[None], drops[None]
+
+            specs = (P("d"), P("d"), P("d")) + ret_specs + \
+                (P("d"), P("d"), P("d")) + ((P("d"),) if with_nmask else ()) \
+                + (P(),)
+            _steps[key] = jax.jit(jax.shard_map(
+                body, mesh=mesh, in_specs=specs,
+                out_specs=(P("d"), P("d"), P("d")), check_vma=False),
+                donate_argnums=(0, 1, 2))
+        return _steps[key]
+
+    def scan_stacked(t: ShardedSortedTable, gp, gl, gc, gnm, S: int,
+                     n_real: int, force_jnp: bool) -> ShardedSortedTable:
+        """Dispatch one device-major stacked block of S batches (``gp`` is
+        the global (S*batch_reads, W) packed array, device-sharded; ``gnm``
+        its N-mask or None; ``n_real`` <= S real batches — the rest are
+        zero pads).  Only real batches advance buf_n."""
+        _check_routing(t)
+        bsz = gp.shape[0] // S
+        L = packed_read_len or gp.shape[1]
+        perdev = bsz // n
+        slots = slots_recv(bsz, L)
+        t = _room(t, S * slots)
+        step_fn = get_scan_stacked(S, perdev, gnm is not None, force_jnp,
+                                   slots)
+        args = (t.buf, t.bufw, t.route_drops)
+        if pair:
+            args = args + (retained_rows, retained_off)
+        args = args + (gp, gl, gc)
+        if gnm is not None:
+            args = args + (gnm,)
+        args = args + (jnp.int32(t.buf_n),)
+        (t.buf, t.bufw, t.route_drops) = step_fn(*args)
+        t.buf_n += n_real * slots
+        return t
+
     # entries appended to each shard's buffer per batch (engine buffer sizing)
     recv_width = slots_recv
 
@@ -729,6 +811,7 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
     apply.finish = finish
     apply.recv_width = recv_width
     apply.scan_spans = scan_spans
+    apply.scan_stacked = scan_stacked
     return apply
 
 

@@ -1097,7 +1097,10 @@ class Engine:
             "kernel_compact=False")
 
     def _multi_feed(self, fqb: Fqb, mesh, local_shard: bool):
-        """Multi-process batch feed: (to_global, batch iterator).
+        """Multi-process batch feed: (to_global, local_rows, batch iterator)
+        — ``to_global`` lifts one batch's local rows into a global array
+        (per-batch side paths), ``local_rows`` extracts them for the stacked
+        scan-fused dispatcher (``_stacked_dispatcher``).
 
         local_shard=False: every process loaded the FULL lane; all compute the
         identical global schedule and contribute rows [pid*per, (pid+1)*per) of
@@ -1115,12 +1118,63 @@ class Engine:
             def to_global(arr):
                 return jax.make_array_from_process_local_data(
                     sh, np.ascontiguousarray(arr))
-            return to_global, self._local_shard_batches(fqb)
+            return to_global, (lambda arr: arr), \
+                self._local_shard_batches(fqb)
+
+        def local_rows(arr):
+            return arr[pid * per:(pid + 1) * per]
 
         def to_global(arr):
             return jax.make_array_from_process_local_data(
-                sh, np.ascontiguousarray(arr[pid * per:(pid + 1) * per]))
-        return to_global, self._host_batches(fqb)
+                sh, np.ascontiguousarray(local_rows(arr)))
+        return to_global, local_rows, self._host_batches(fqb)
+
+    def _stacked_dispatcher(self, step, mesh, local_rows):
+        """Multi-process scan fusion: returns ``dispatch_block(dt, block)``
+        where ``block = {"variant": (force_jnp, has_n), "items": [(packed,
+        nmask, lengths, bcs), ...]}`` — the block's batches stack
+        DEVICE-MAJOR into one global array per operand (each device's slice
+        holds its rows of all S batches, batch-ascending) built with a single
+        ``make_array_from_process_local_data``, and one ``step.scan_stacked``
+        dispatch covers all of them.  The per-batch feed paid one global-array
+        construction + one jit dispatch per batch (the "multi-process scan
+        fusion" gap of ROADMAP r4); blocks bucket to power-of-two lengths so
+        compiles stay few, and pad batches are zero rows (length 0,
+        barcode -1 — they emit nothing)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        perdev = self.cfg.batch_reads // mesh.devices.size
+        shd = NamedSharding(mesh, P("d"))
+
+        def dispatch_block(dt, block):
+            items = block["items"]
+            fj, has_n = block["variant"]
+            S_use = 1 << max(len(items) - 1, 0).bit_length()
+            ex = local_rows(items[0][0])
+            per_l, W = ex.shape
+            ldc = per_l // perdev  # this process's device count
+
+            def stacked(idx, pad, dtype, width=0):
+                shape = (S_use, per_l, width) if width else (S_use, per_l)
+                out = np.full(shape, pad, dtype)
+                for i, it in enumerate(items):
+                    out[i] = local_rows(it[idx])
+                # (S, ldc, perdev, ...) -> (ldc, S, perdev, ...): each
+                # device's rows contiguous, batches ascending within
+                out = out.reshape((S_use, ldc, perdev) + out.shape[2:])
+                out = np.moveaxis(out, 0, 1)
+                return jax.make_array_from_process_local_data(
+                    shd, np.ascontiguousarray(out.reshape(
+                        (ldc * S_use * perdev,) + out.shape[3:])))
+
+            gp = stacked(0, 0, np.uint32, W)
+            gl = stacked(2, 0, np.int32)
+            gc = stacked(3, -1, np.int32)
+            gnm = stacked(1, 0, np.uint32, items[0][1].shape[1]) \
+                if has_n else None
+            return step.scan_stacked(dt, gp, gl, gc, gnm, S_use,
+                                     len(items), fj)
+
+        return dispatch_block
 
     def _count_sharded(self, fqb: Fqb, local_shard: bool = False) -> None:
         """Sharded count pass (SURVEY.md §3.2): DP read batches over the mesh,
@@ -1175,14 +1229,25 @@ class Engine:
             # contribute empty blocks to that group's global batches), so
             # occurrence-mode side counting + a distinct-keys merge at group
             # end is exact (VERDICT r03 Missing #4: this branch raised)
-            to_global, batches = self._multi_feed(fqb, mesh, local_shard)
+            to_global, local_rows, batches = \
+                self._multi_feed(fqb, mesh, local_shard)
             n_new = 0
             gside = side_step = None
             cur_gid = None
+            # scan-fuse consecutive same-variant normal batches: each block
+            # becomes ONE device-major stacked global array + ONE dispatch
+            # (step.scan_stacked) instead of a make_array + jit per batch —
+            # the multi-process port of the r03 scan-fusion win (the
+            # "multi-process scan fusion" gap of ROADMAP r4)
+            pend = None
+            dispatch_block = self._stacked_dispatcher(step, mesh, local_rows)
             for packed, nmask, lengths, bcs, meta in batches:
                 gid, n_valid, has_short = meta
                 n_new += n_valid
                 if gid is not None and cfg.count_mode == "barcodes":
+                    if pend is not None:
+                        dt = dispatch_block(dt, pend)
+                        pend = None
                     if side_step is None:
                         side_step = self._side_step(mesh, fqb.read_len)
                     if gid != cur_gid and gside is not None:
@@ -1207,10 +1272,16 @@ class Engine:
                     dt = self._merge_group_sharded(dt, side_step.finish(gside))
                     gside = None
                     cur_gid = None
-                dt = step(dt, to_global(packed), to_global(lengths),
-                          to_global(bcs),
-                          nmask=to_global(nmask) if nmask is not None else None,
-                          force_jnp=has_short or nmask is not None)
+                variant = (has_short or nmask is not None, nmask is not None)
+                if pend is not None and (pend["variant"] != variant
+                                         or len(pend["items"]) >= S):
+                    dt = dispatch_block(dt, pend)
+                    pend = None
+                if pend is None:
+                    pend = {"variant": variant, "items": []}
+                pend["items"].append((packed, nmask, lengths, bcs))
+            if pend is not None:
+                dt = dispatch_block(dt, pend)
             if gside is not None:
                 dt = self._merge_group_sharded(dt, side_step.finish(gside))
             if local_shard:
@@ -1786,13 +1857,24 @@ class Engine:
         dt = DS.ShardedSortedTable(mesh, cap, buf_cap,
                                    spec=cfg.spec, routing="low")
         if multi:
-            to_global, batches = self._multi_feed(fqb, mesh, local_shard)
+            # scan-fused stacked blocks, like the count pass (group tags are
+            # irrelevant here: the pair table dedups globally, so EVERY
+            # consecutive same-variant run fuses)
+            _, local_rows, batches = self._multi_feed(fqb, mesh, local_shard)
+            dispatch_block = self._stacked_dispatcher(step, mesh, local_rows)
+            pend = None
             for packed, nmask, lengths, bcs, meta in batches:
                 gid, n_valid, has_short = meta
-                dt = step(dt, to_global(packed), to_global(lengths),
-                          to_global(bcs),
-                          nmask=to_global(nmask) if nmask is not None else None,
-                          force_jnp=has_short or nmask is not None)
+                variant = (has_short or nmask is not None, nmask is not None)
+                if pend is not None and (pend["variant"] != variant
+                                         or len(pend["items"]) >= S):
+                    dt = dispatch_block(dt, pend)
+                    pend = None
+                if pend is None:
+                    pend = {"variant": variant, "items": []}
+                pend["items"].append((packed, nmask, lengths, bcs))
+            if pend is not None:
+                dt = dispatch_block(dt, pend)
         else:
             # scan-fused dispatches from the cached device chunks (group
             # tags are irrelevant: the pair table dedups globally)

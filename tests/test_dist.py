@@ -244,3 +244,54 @@ def test_sharded_incidence_with_ns_and_short_reads(n_mesh):
     assert a.n_pairs == b.n_pairs
     assert (a.code_offsets == b.code_offsets).all()
     assert (a.code_kmers == b.code_kmers).all()
+
+
+@pytest.mark.parametrize("n_mesh,mode_kw", [
+    (2, {}), (8, {}), (8, {"count_mode": "barcodes"})])
+def test_scan_stacked_equals_per_batch(n_mesh, mode_kw):
+    """One device-major stacked dispatch of S batches (the multi-process
+    scan-fusion path) must produce exactly the table the per-batch step
+    builds — including zero-pad batches past the real count."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = HashSpec(k=21, w=7, seed=17)
+    codes, lengths, bcs = sim_lane()
+    mesh = D.make_mesh(n_mesh)
+    bsz = 256
+    n_b = len(codes) // bsz          # real batches
+    S = 1 << (n_b - 1).bit_length()  # pow2 with pad batches
+    perdev = bsz // n_mesh
+
+    def fresh():
+        return DS.ShardedSortedTable(mesh, capacity=1 << 17,
+                                     buf_capacity=1 << 20, spec=spec)
+
+    step = DS.make_sorted_count_step(spec, mesh, **mode_kw)
+    want = fresh()
+    for b in range(n_b):
+        sl = slice(b * bsz, (b + 1) * bsz)
+        want = step(want, codes[sl], lengths[sl], bcs[sl])
+    want = step.finish(want)
+    wh, wc = DS.gather_sorted_compact(want)
+
+    def stack(arr, pad, dtype, width=0):
+        shape = (S, bsz, width) if width else (S, bsz)
+        out = np.full(shape, pad, dtype)
+        for b in range(n_b):
+            out[b] = arr[b * bsz:(b + 1) * bsz]
+        out = out.reshape((S, n_mesh, perdev) + out.shape[2:])
+        out = np.moveaxis(out, 0, 1)
+        return jax.device_put(
+            jnp.asarray(out.reshape((n_mesh * S * perdev,) + out.shape[3:])),
+            NamedSharding(mesh, P("d")))
+
+    got = fresh()
+    got = step.scan_stacked(
+        got, stack(codes, 0, codes.dtype, codes.shape[1]),
+        stack(lengths, 0, np.int32), stack(bcs, -1, np.int32),
+        None, S, n_b, False)
+    got = step.finish(got)
+    assert int(np.asarray(got.route_drops).sum()) == 0
+    gh, gc = DS.gather_sorted_compact(got)
+    assert gh.tolist() == wh.tolist()
+    assert gc.tolist() == wc.tolist()
