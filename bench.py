@@ -565,10 +565,11 @@ def main():
                            "ALL n virtual devices share ONE host's cores, so "
                            "the wall tracks TOTAL work + contention, not "
                            "per-chip work.  n=1->2 dips because the routing "
-                           "machinery (dest-sort, lane build, all_to_all) "
-                           "appears at n=2 while total sketch+sort work is "
-                           "unchanged on the same cores — on real chips each "
-                           "shard owns its compute and this is the 2x step.  "
+                           "machinery (lane build, all_to_all, owner-side "
+                           "dedup) appears at n=2 while total sketch+sort "
+                           "work is unchanged on the same cores — on real "
+                           "chips each shard owns its compute and this is "
+                           "the 2x step.  "
                            "n=4 vs 8 is flat for the same reason: per-shard "
                            "work halves but the shared-core budget does not. "
                            " The hardware-relevant signals here are (a) "
