@@ -362,7 +362,10 @@ def main(argv: List[str] = None, out=None, err=None) -> int:
         elif a == "--cribBuild":
             from ..crib.crib import build_crib
             paths = [need(1, a)[0]]
-            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+            # the optional second haplotype is taken iff the next token IS an
+            # existing file — "does it start with '-'" misparsed paths that
+            # begin with a dash and numeric params that follow (VERDICT r4)
+            if i + 1 < len(argv) and os.path.isfile(argv[i + 1]):
                 paths.append(need(1, a)[0])
             eng = st.get_engine()
             if eng.retained_hashes is None:

@@ -42,6 +42,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..hashspec import U64MAX
+from ..dist import sharded_sorted as SS
 from ..table import sorted_table as st
 from .sparse import (_forward_positions, _local_indices, _pow2,
                      _win_edges, _win_keys, canonical_ranks, friend_pairs)
@@ -275,48 +276,59 @@ def _cooccur_table(inc, mesh: Mesh, chunk: int):
     if inc.n_pairs == 0 or max(sj.Ds) < 2:
         return None
     W = sj.W
-    # low-bit routing spreads a window's keys ~uniformly; size lanes to the
-    # expected load with 4x headroom (exact overflow accounting raises) —
-    # worst-case W lanes made flush volume scale WITH the mesh size, the
-    # round-2 inverse-scaling artifact.  TRADEOFF: a pathologically skewed
-    # window (one owner receiving >4x its expected share) raises a loud
-    # RuntimeError instead of dropping; ``chunk`` (bigger windows => more
-    # averaging) is the caller-facing knob, named in the error message
-    cap_lane = min(W, _pow2(4 * W // max(n, 1) + 1024))
-    step, recv_width = _make_pair_route_step(mesh, W, inc.n_codes, cap_lane)
-    flush = _make_flush(mesh)
-
     rounds = sj.rounds()
     total_pairs = sj.total_win_pairs()
     cap = _pow2(max(2 * total_pairs // n, 1 << 12))
-    buf_cap = _pow2(max(4 * recv_width, 1 << 12))
-    sh = NamedSharding(mesh, P("d"))
-    hashes = jax.device_put(jnp.full((n, cap), _U64MAX, jnp.uint64), sh)
-    counts = jax.device_put(jnp.zeros((n, cap), jnp.uint32), sh)
-    buf = jax.device_put(jnp.full((n, buf_cap), _U64MAX, jnp.uint64), sh)
-    drops = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
-    spilled = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
+    flush = _make_flush(mesh)
 
-    buf_n = 0
-    for a, d in rounds:
-        if buf_n + recv_width > buf_cap:
+    def sweep(cap_lane):
+        step, recv_width = _make_pair_route_step(mesh, W, inc.n_codes,
+                                                 cap_lane)
+        buf_cap = _pow2(max(4 * recv_width, 1 << 12))
+        sh = NamedSharding(mesh, P("d"))
+        hashes = jax.device_put(jnp.full((n, cap), _U64MAX, jnp.uint64), sh)
+        counts = jax.device_put(jnp.zeros((n, cap), jnp.uint32), sh)
+        buf = jax.device_put(jnp.full((n, buf_cap), _U64MAX, jnp.uint64), sh)
+        drops = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
+        spilled = jax.device_put(jnp.zeros((n,), jnp.uint32), sh)
+        buf_n = 0
+        for a, d in rounds:
+            if buf_n + recv_width > buf_cap:
+                hashes, counts, buf, sp = flush(hashes, counts, buf)
+                spilled = spilled + sp
+                buf_n = 0
+            buf, drops = step(buf, drops, sj.codes_d, sj.seg_d,
+                              _put_rows(a, mesh), _put_rows(d, mesh),
+                              jnp.int32(buf_n))
+            buf_n += recv_width
+        if buf_n:
             hashes, counts, buf, sp = flush(hashes, counts, buf)
             spilled = spilled + sp
-            buf_n = 0
-        buf, drops = step(buf, drops, sj.codes_d, sj.seg_d,
-                          _put_rows(a, mesh), _put_rows(d, mesh),
-                          jnp.int32(buf_n))
-        buf_n += recv_width
-    if buf_n:
-        hashes, counts, buf, sp = flush(hashes, counts, buf)
-        spilled = spilled + sp
-    if int(np.asarray(jnp.sum(drops))):
-        raise RuntimeError("pair routing dropped keys (lane overflow); "
-                           "raise chunk or shard count")
-    if int(np.asarray(jnp.sum(spilled))):
-        raise RuntimeError("sharded co-occurrence table spilled; raise chunk "
-                           "or shard count")
-    return hashes, counts
+        if int(np.asarray(jnp.sum(drops))):
+            raise SS.LaneOverflowError(
+                "pair routing dropped keys (lane overflow)",
+                auto_cap=cap_lane)
+        if int(np.asarray(jnp.sum(spilled))):
+            raise RuntimeError("sharded co-occurrence table spilled; raise "
+                               "chunk or shard count")
+        return hashes, counts
+
+    # low-bit routing spreads a window's keys ~uniformly; size lanes to the
+    # expected load with 4x headroom (exact overflow accounting raises) —
+    # worst-case W lanes made flush volume scale WITH the mesh size, the
+    # round-2 inverse-scaling artifact.  A pathologically skewed window
+    # (one owner receiving >4x its expected share) DOUBLES the lane and
+    # re-sweeps instead of aborting (capped retries; the sweep is pure
+    # recompute, so a retry is exact — VERDICT r4 item 7); ``chunk``
+    # (bigger windows => more averaging) remains the caller-facing knob
+    cap_lane = min(W, _pow2(4 * W // max(n, 1) + 1024))
+    for attempt in range(4):
+        try:
+            return sweep(cap_lane)
+        except SS.LaneOverflowError:
+            if cap_lane >= W or attempt == 3:
+                raise
+            cap_lane = min(W, 2 * cap_lane)
 
 
 def friend_keys_dist(inc, mesh: Mesh, min_friend_share: int,
@@ -408,6 +420,13 @@ def _make_propagate(mesh: Mesh, n_p: int, n_f: int):
     """Labels are GLOBAL forward-CSR positions (replicated across the mesh),
     so each round pointer-jumps ``lab[lab]`` locally after the pmin merge —
     O(log diameter) rounds; see cluster/sparse._propagate."""
+    if n_p >= 2 ** 31:
+        # int32 global positions wrap past 2^31 pairs — and a replicated
+        # (n_p,) vector would not fit anyway; the config-#5 path is
+        # label_block_pairs (block-relative int32 labels, int64 at the write)
+        raise ValueError(
+            f"replicated label propagation needs n_pairs < 2^31 (got "
+            f"{n_p}); use label_block_pairs / --labelBlocks for this lane")
     big = jnp.int32(2 ** 31 - 1)
 
     @functools.partial(jax.shard_map, mesh=mesh,
@@ -465,7 +484,11 @@ def _make_propagate_block(mesh: Mesh, blk_pad: int, n_f: int, e_blk: int):
     contiguous slice of its p-sorted edge table that falls in the block
     (host-verified to fit e_blk).  Blocks must align to barcode boundaries —
     components never cross barcodes, so every label stays inside its block
-    and the pointer jump stays local."""
+    and the pointer jump stays local.
+
+    Labels are BLOCK-RELATIVE int32 positions (never global: a global int32
+    wraps once n_pairs >= 2^31, exactly the config-#5 scale this path
+    exists for); callers widen to int64 global positions by adding p0."""
     big = jnp.int32(2 ** 31 - 1)
 
     @functools.partial(jax.shard_map, mesh=mesh,
@@ -473,7 +496,6 @@ def _make_propagate_block(mesh: Mesh, blk_pad: int, n_f: int, e_blk: int):
                        check_vma=False)
     def prop(ebuf, lo, p0, p1):
         nf_u = jnp.uint64(max(n_f, 1))
-        p0i = p0.astype(jnp.int32)
         # dynamic_slice clamps the start near the row end; the explicit key-
         # range mask below drops any pulled-in out-of-block edges (which sit
         # at the FRONT of the slice, so p_loc is NOT sorted — segment ids are
@@ -481,7 +503,10 @@ def _make_propagate_block(mesh: Mesh, blk_pad: int, n_f: int, e_blk: int):
         e = jax.lax.dynamic_slice(ebuf[0], (lo[0],), (e_blk,))
         valid = (e >= p0.astype(jnp.uint64) * nf_u) & \
                 (e < p1.astype(jnp.uint64) * nf_u) & (e != _U64MAX)
-        p_loc = jnp.where(valid, (e // nf_u).astype(jnp.int32) - p0i, blk_pad)
+        # subtract p0 in uint64 BEFORE the int32 cast: the global position
+        # e // nf_u exceeds int32 past 2^31 pairs, the block offset never does
+        p_loc = jnp.where(valid, (e // nf_u - p0.astype(jnp.uint64))
+                          .astype(jnp.int32), blk_pad)
         f_by_p = jnp.where(valid, (e % nf_u).astype(jnp.int32), n_f)
         fkey = jnp.where(valid, (e % nf_u) * jnp.uint64(blk_pad)
                          + jnp.where(valid, p_loc, 0).astype(jnp.uint64),
@@ -492,11 +517,11 @@ def _make_propagate_block(mesh: Mesh, blk_pad: int, n_f: int, e_blk: int):
                              .astype(jnp.int32), n_f)
         p_by_f = jnp.where(fvalid, (fkey % jnp.uint64(blk_pad))
                            .astype(jnp.int32), blk_pad)
-        init = p0i + jnp.arange(blk_pad, dtype=jnp.int32)
+        init = jnp.arange(blk_pad, dtype=jnp.int32)
 
         def jump(lab):
-            # labels are global positions INSIDE the block: gather locally
-            j = jnp.clip(lab - p0i, 0, blk_pad - 1)
+            # labels are block-relative positions: gather locally
+            j = jnp.clip(lab, 0, blk_pad - 1)
             return jnp.minimum(lab, lab[j])
 
         def cond(state):
@@ -528,8 +553,9 @@ def _make_block_writer(mesh: Mesh, Ppad: int, blk_pad: int):
     """Write one block's replicated label vector into each shard's
     position-aligned global-label row: shard s owns global positions
     [poff_s, poff_s + Ppad); the intersection with the block [p0, p1) is
-    gathered from ``lab`` (labels are global positions, so they land
-    verbatim), everything else keeps its prior value."""
+    gathered from ``lab`` (block-relative int32) and widened to int64
+    GLOBAL positions (lab + p0) at the write — the global-label array is
+    int64 so config-#5 lanes (n_pairs >= 2^31) never wrap."""
 
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(P("d"), P(), P("d"), P(), P()),
@@ -538,7 +564,7 @@ def _make_block_writer(mesh: Mesh, Ppad: int, blk_pad: int):
         pos = poff_sh[0] + jnp.arange(Ppad, dtype=jnp.int64)
         idx = jnp.clip(pos - p0, 0, blk_pad - 1).astype(jnp.int32)
         v = (pos >= p0) & (pos < p1)
-        return jnp.where(v, lab[idx], glab[0])[None]
+        return jnp.where(v, p0 + lab[idx].astype(jnp.int64), glab[0])[None]
 
     return jax.jit(wr, donate_argnums=(0,))
 
@@ -572,7 +598,7 @@ def _propagate_blocks(inc, mesh: Mesh, ehashes, n_f: int,
     if sharded_out:
         Ppad = inc.keys.shape[1]
         poff = jax.device_put(jnp.asarray(inc.pair_offsets[:-1]), sh)
-        glab = jax.device_put(jnp.zeros((n, Ppad), jnp.int32), sh)
+        glab = jax.device_put(jnp.zeros((n, Ppad), jnp.int64), sh)
         writers = {}
     else:
         glob = np.empty(inc.n_pairs, np.int64)
@@ -592,7 +618,7 @@ def _propagate_blocks(inc, mesh: Mesh, ehashes, n_f: int,
             glab = writers[blk_pad](glab, lab, poff, jnp.int64(p0),
                                     jnp.int64(p1))
         else:
-            glob[p0:p1] = np.asarray(lab)[:p1 - p0]
+            glob[p0:p1] = p0 + np.asarray(lab, np.int64)[:p1 - p0]
     return glab if sharded_out else glob
 
 

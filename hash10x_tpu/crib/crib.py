@@ -41,10 +41,23 @@ class Crib:
     labels: np.ndarray        # (n_kmers,) uint8
     hap_counts: np.ndarray    # (n_haps, n_kmers) uint32 genome multiplicity
     n_haps: int
-    positions: np.ndarray = None  # (n_kmers,) int64 hap1 first position, -1 absent
+    positions: np.ndarray = None  # (n_kmers,) int64 hap1 first position in the
+    #                               concatenated-genome coordinate, -1 absent
+    rec_starts: np.ndarray = None  # (n_records,) int64 concatenated-coordinate
+    #                                start of each hap1 FASTA record
+    rec_names: List[str] = None    # hap1 FASTA record (chromosome) names
 
     def composition(self) -> np.ndarray:
         return np.bincount(self.labels, minlength=5)
+
+    def chrom_of(self, pos: np.ndarray) -> np.ndarray:
+        """Record index of each concatenated-coordinate position (-1 for
+        pos < 0).  Record == chromosome for assembly FASTAs (SURVEY.md §3.1
+        #10: crib labels carry chrom/pos)."""
+        if self.rec_starts is None or not len(self.rec_starts):
+            return np.full(len(pos), -1, np.int64)
+        c = np.searchsorted(self.rec_starts, pos, side="right") - 1
+        return np.where(np.asarray(pos) >= 0, c, -1)
 
 
 @functools.partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
@@ -72,11 +85,14 @@ def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path,
     """Multiplicity of each retained k-mer in one genome FASTA (canonical hashes,
     every k-mer position — the reference hashes whole genomes, not sketches).
     With ``with_positions``, also returns each k-mer's first position in the
-    concatenated-genome coordinate (-1 if absent) for contiguity reports."""
+    concatenated-genome coordinate (-1 if absent) plus the record (chromosome)
+    start offsets and names, so reports can carry per-chrom positions and
+    never straddle record boundaries (SURVEY.md §3.1 #10)."""
     nk = len(retained_hashes)
     if nk == 0:
         z = np.zeros(0, np.uint32)
-        return (z, np.zeros(0, np.int64)) if with_positions else z
+        return ((z, np.zeros(0, np.int64), np.zeros(0, np.int64), [])
+                if with_positions else z)
     counts = jnp.zeros(nk, jnp.uint32)
     first_pos = jnp.full(nk, np.iinfo(np.int64).max, jnp.int64)
     retained_d = jnp.asarray(retained_hashes)
@@ -88,8 +104,13 @@ def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path,
     # row groups (per-record batches compiled once per distinct chunk count — a
     # compile storm for draft assemblies with many contig lengths)
     chunks = []  # (record codes, start, global genome offset of chunk)
+    rec_starts, rec_names = [], []
     genome_off = 0
-    for _, seq in fasta_records(path):
+    for name, seq in fasta_records(path):
+        rec_starts.append(genome_off)
+        if isinstance(name, bytes):
+            name = name.decode("utf-8", "replace")
+        rec_names.append(name.split()[0] if name else f"rec{len(rec_names)}")
         codes = ascii_to_codes(seq)
         n = len(codes)
         if n >= k:
@@ -113,7 +134,7 @@ def genome_kmer_counts(spec: HashSpec, retained_hashes: np.ndarray, path,
     if with_positions:
         fp = np.asarray(first_pos).copy()
         fp[fp == np.iinfo(np.int64).max] = -1
-        return counts, fp
+        return counts, fp, np.asarray(rec_starts, np.int64), rec_names
     return counts
 
 
@@ -122,8 +143,8 @@ def build_crib(spec: HashSpec, retained_hashes: np.ndarray,
     """Label retained k-mers against 1 or 2 haplotype FASTAs."""
     if not 1 <= len(paths) <= 2:
         raise ValueError("crib takes one or two haplotype FASTAs")
-    c0, positions = genome_kmer_counts(spec, retained_hashes, paths[0],
-                                       with_positions=True)
+    c0, positions, rec_starts, rec_names = genome_kmer_counts(
+        spec, retained_hashes, paths[0], with_positions=True)
     hap_counts = np.stack([c0] + [genome_kmer_counts(spec, retained_hashes, p)
                                   for p in paths[1:]])
     n = len(retained_hashes)
@@ -139,7 +160,8 @@ def build_crib(spec: HashSpec, retained_hashes: np.ndarray,
         labels[c1 == 1] = HOM
         labels[c1 > 1] = MUL
     return Crib(labels=labels, hap_counts=hap_counts, n_haps=len(paths),
-                positions=positions)
+                positions=positions, rec_starts=rec_starts,
+                rec_names=rec_names)
 
 
 def _segment_percentile(sorted_vals: np.ndarray, seg_off: np.ndarray,
@@ -189,32 +211,55 @@ def crib_report(inc, clusters, crib: Crib, out=sys.stdout) -> None:
     h1, h2 = lc[:, HET1], lc[:, HET2]
     het = h1 + h2
     dom = np.maximum(h1, h2)
-    # inner-80% spans of hap1 positions per cluster
+    # inner-80% spans of hap1 positions per cluster, computed WITHIN each
+    # cluster's dominant chromosome (FASTA record) only — a span straddling
+    # a record boundary in the concatenated coordinate is meaningless
+    # (SURVEY.md §3.1 #10: labels carry chrom/pos); the report line names
+    # the dominant chrom and its record-local positions drive the span
     spans = np.full(G, -1, np.int64)
+    chrom_g = np.full(G, -1, np.int64)
     if crib.positions is not None and n_pairs:
         pp = crib.positions[inc.code_kmers]
         ok = pp >= 0
         gv, pv = gid[ok], pp[ok]
-        order = np.lexsort((pv, gv))
-        gv, pv = gv[order], pv[order]
-        seg_len = np.bincount(gv, minlength=G)
-        seg_off = np.concatenate([[0], np.cumsum(seg_len)])[:-1]
-        enough = seg_len >= 5
-        if enough.any():
-            p90 = _segment_percentile(pv, seg_off[enough], seg_len[enough], 90)
-            p10 = _segment_percentile(pv, seg_off[enough], seg_len[enough], 10)
-            spans[enough] = (p90 - p10).astype(np.int64)
+        cv = crib.chrom_of(pv)
+        n_rec = len(crib.rec_starts) if crib.rec_starts is not None else 0
+        if n_rec and len(gv):
+            # dominant chrom per cluster: most k-mers, smallest id on ties
+            key = gv * n_rec + cv
+            ukey, kcnt = np.unique(key, return_counts=True)
+            u_g, u_c = ukey // n_rec, ukey % n_rec
+            order = np.lexsort((u_c, -kcnt, u_g))
+            first = np.concatenate([[True], u_g[order][1:] != u_g[order][:-1]])
+            chrom_g[u_g[order][first]] = u_c[order][first]
+            # spans over record-LOCAL positions of the dominant chrom only
+            keep = cv == chrom_g[gv]
+            gv2 = gv[keep]
+            pv2 = pv[keep] - crib.rec_starts[cv[keep]]
+            order2 = np.lexsort((pv2, gv2))
+            gv2, pv2 = gv2[order2], pv2[order2]
+            seg_len = np.bincount(gv2, minlength=G)
+            seg_off = np.concatenate([[0], np.cumsum(seg_len)])[:-1]
+            enough = seg_len >= 5
+            if enough.any():
+                p90 = _segment_percentile(pv2, seg_off[enough],
+                                          seg_len[enough], 90)
+                p10 = _segment_percentile(pv2, seg_off[enough],
+                                          seg_len[enough], 10)
+                spans[enough] = (p90 - p10).astype(np.int64)
     codes_g = uniq // K
     labs_g = uniq % K
+    names = crib.rec_names or []
     lines = []
     for g in range(G):
         pstr = f"{dom[g] / het[g]:.3f}" if het[g] else "-"
         sstr = str(spans[g]) if spans[g] >= 0 else "-"
+        cstr = (names[chrom_g[g]] if 0 <= chrom_g[g] < len(names) else "-")
         lines.append(
             f"code {codes_g[g]} cluster {labs_g[g]} n {csize[g]} "
             f"hom {lc[g, HOM]} het1 {h1[g]} het2 {h2[g]} "
             f"mul {lc[g, MUL]} err {lc[g, ERR]} purity {pstr} "
-            f"span {sstr}\n")
+            f"chrom {cstr} span {sstr}\n")
     out.write("".join(lines))
     total_het = int(het.sum())
     if total_het:

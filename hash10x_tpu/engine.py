@@ -1177,6 +1177,33 @@ class Engine:
         return dispatch_block
 
     def _count_sharded(self, fqb: Fqb, local_shard: bool = False) -> None:
+        """Sharded count with lane-overflow auto-recovery: expected-load lane
+        sizing trades worst-case pads for a loud data-dependent RuntimeError
+        on pathological skew (sharded_sorted.lane_cap TRADEOFF note).  At
+        config-#5 scale an hours-in abort is unacceptable (VERDICT r4 item
+        7), so on overflow the pass RECOUNTS with doubled lanes (drops are
+        detected at finish — per-batch detection would cost a sync per
+        batch — so the failed table may be missing keys and cannot be
+        patched incrementally).  Exact overflow accounting is unchanged;
+        retries are capped; the grown ``lane_capacity`` sticks for later
+        commands (incidence meets the same skew)."""
+        from .dist.sharded_sorted import LaneOverflowError
+        n0 = self.n_reads_counted
+        cfg = self.cfg
+        for attempt in range(4):
+            try:
+                return self._count_sharded_once(fqb, local_shard)
+            except LaneOverflowError as e:
+                if attempt == 3:
+                    raise
+                self.n_reads_counted = n0
+                cfg.lane_capacity = 2 * (cfg.lane_capacity or e.auto_cap
+                                         or 8192)
+                self.timer.stage(
+                    f"count[sharded]: lane overflow ({e}); retrying with "
+                    f"--laneCapacity {cfg.lane_capacity}")
+
+    def _count_sharded_once(self, fqb: Fqb, local_shard: bool = False) -> None:
         """Sharded count pass (SURVEY.md §3.2): DP read batches over the mesh,
         all_to_all emission routing to hash-owner shards, shard-parallel sorted
         flushes; the gathered global table feeds the unchanged downstream
@@ -1368,8 +1395,11 @@ class Engine:
         dt = step.finish(dt)
         drops = DS.host_sum(dt, dt.route_drops)
         if drops:
-            raise RuntimeError(f"sharded count dropped {drops} emissions "
-                               "(lane/cap overflow); raise --laneCapacity")
+            raise DS.LaneOverflowError(
+                f"sharded count dropped {drops} emissions (lane/cap "
+                "overflow)",
+                auto_cap=cfg.lane_capacity
+                or step.auto_lane_cap(cfg.batch_reads, fqb.read_len))
         if DS.host_sum(dt, dt.spilled):
             raise RuntimeError("sharded table spilled; raise --tableBits")
         # the table STAYS device-sharded: filter and incidence consume it in
@@ -1391,9 +1421,9 @@ class Engine:
         from jax.sharding import PartitionSpec as P
         from .dist import sharded_sorted as DS
         if DS.host_sum(gside, gside.route_drops):
-            raise RuntimeError("oversized-barcode side table dropped "
-                               "emissions (lane overflow); raise lane "
-                               "capacity")
+            raise DS.LaneOverflowError(
+                "oversized-barcode side table dropped emissions "
+                "(lane overflow)")
         if DS.host_sum(gside, gside.spilled):
             raise RuntimeError("oversized-barcode side table spilled; raise "
                                "--tableBits")
@@ -1814,6 +1844,25 @@ class Engine:
                          f"{self.inc.n_codes} codes x {self.inc.n_kmers} kmers")
 
     def _incidence_sharded(self, fqb: Fqb, local_shard: bool = False) -> None:
+        """Lane-overflow auto-recovery wrapper (see _count_sharded): on a
+        skewed lane the pass re-runs with doubled lanes instead of aborting
+        hours into a config-#5 lane."""
+        from .dist.sharded_sorted import LaneOverflowError
+        cfg = self.cfg
+        for attempt in range(4):
+            try:
+                return self._incidence_sharded_once(fqb, local_shard)
+            except LaneOverflowError as e:
+                if attempt == 3:
+                    raise
+                cfg.lane_capacity = 2 * (cfg.lane_capacity or e.auto_cap
+                                         or 8192)
+                self.timer.stage(
+                    f"incidence[sharded]: lane overflow ({e}); retrying "
+                    f"with --laneCapacity {cfg.lane_capacity}")
+
+    def _incidence_sharded_once(self, fqb: Fqb,
+                                local_shard: bool = False) -> None:
         """Mesh-distributed incidence build (SURVEY.md §3.2 table-sharding row
         applied to the code-table pass): DP read batches sketch per device;
         raw (hash, barcode) emissions route to the hash's range-owner shard,
@@ -1903,9 +1952,11 @@ class Engine:
         dt = step.finish(dt)
         drops = DS.host_sum(dt, dt.route_drops)
         if drops:
-            raise RuntimeError(f"sharded incidence dropped {drops} pair keys "
-                               "(lane/cap overflow); raise --laneCapacity or "
-                               "emission_cap_factor")
+            raise DS.LaneOverflowError(
+                f"sharded incidence dropped {drops} pair keys (lane/cap "
+                "overflow)",
+                auto_cap=cfg.lane_capacity
+                or step.auto_lane_cap(cfg.batch_reads, fqb.read_len))
         if DS.host_sum(dt, dt.spilled):
             raise RuntimeError("sharded pair table spilled; raise --tableBits")
         # the pair set STAYS device-sharded: one all_to_all redistributes the
@@ -2016,8 +2067,11 @@ class Engine:
         origin table crosses to host."""
         if self._labels_host is None and self._labels_sh is None:
             raise RuntimeError("split requires clusters")
-        if (self._labels_sh is not None and self._inc_sh is not None
-                and self._inc_host is None):
+        if self._labels_sh is not None and self._inc_sh is not None:
+            # sharded state present -> always take the shard-side path (the
+            # aggregation is byte-identical; dispatching on whether a host
+            # view HAPPENED to materialize made the O(n_pairs) host cost
+            # depend on call order — ADVICE r4)
             return self._split_sharded()
         inc = self.inc
         flat = self._cluster_flat().astype(np.int64)
@@ -2085,8 +2139,8 @@ class Engine:
         report without materializing the host CSR."""
         if self._labels_host is None and self._labels_sh is None:
             raise RuntimeError("report requires clusters")
-        if (self._labels_sh is not None and self._inc_sh is not None
-                and self._inc_host is None):
+        if self._labels_sh is not None and self._inc_sh is not None:
+            # see split(): sharded state alone decides the path
             return self._report_sharded(out)
         inc = self.inc
         n_kmers_per_code = np.diff(inc.code_offsets)

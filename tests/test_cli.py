@@ -281,3 +281,35 @@ def test_param_flags_apply_after_data():
         outs.append(n_cl)
     # an absurd share threshold yields no friends -> far more (singleton) clusters
     assert outs[1] > outs[0] * 3, outs
+
+
+def test_crib_chrom_and_boundary_straddling_span():
+    """Report lines carry the dominant chromosome name, and spans are
+    computed over record-LOCAL positions of that chrom only — a cluster
+    whose k-mers straddle a record boundary must NOT report the inflated
+    concatenated-coordinate span (SURVEY.md §3.1 #10: labels + chrom/pos)."""
+    import io
+    from hash10x_tpu.crib.crib import Crib, crib_report, HET1
+    from hash10x_tpu.table.incidence import build_incidence
+
+    # 16 retained k-mers in one barcode, one cluster: 8 land at the END of
+    # chr1 (concatenated pos 100..107), 8 at the START of chr2 (200..207)
+    n_k = 16
+    positions = np.concatenate([np.arange(100, 108), np.arange(200, 208)])
+    crib = Crib(labels=np.full(n_k, HET1, np.uint8),
+                hap_counts=np.ones((1, n_k), np.uint32), n_haps=1,
+                positions=positions.astype(np.int64),
+                rec_starts=np.array([0, 200], np.int64),
+                rec_names=["chr1", "chr2"])
+    inc = build_incidence(np.arange(n_k, dtype=np.int32),
+                          np.zeros(n_k, np.int32), n_kmers=n_k, n_codes=1)
+    out = io.StringIO()
+    crib_report(inc, np.zeros(n_k, np.int64), crib, out)
+    line = [l for l in out.getvalue().splitlines()
+            if l.startswith("code 0 cluster 0")][0]
+    # tie at 8 vs 8 k-mers -> smallest record id wins: chr1
+    assert " chrom chr1 " in line, line
+    span = int(line.rsplit("span ", 1)[1])
+    # chr1-local inner-80% of [100..107] is ~5-6; the straddling
+    # concatenated span would be ~96
+    assert span < 10, line

@@ -295,3 +295,69 @@ def test_scan_stacked_equals_per_batch(n_mesh, mode_kw):
     gh, gc = DS.gather_sorted_compact(got)
     assert gh.tolist() == wh.tolist()
     assert gc.tolist() == wc.tolist()
+
+
+def test_force_routing_env_matches_specialized(monkeypatch):
+    """H10X_FORCE_ROUTING=1 (the bench routing-A/B knob) must route the n=1
+    lane through the n>1 code path and produce the identical table — the
+    knob isolates routing-machinery COST, never output."""
+    spec = HashSpec(k=21, w=7, seed=17)
+    codes, lengths, bcs = sim_lane()
+    mesh = D.make_mesh(1)
+    bsz = 256
+
+    def run():
+        t = DS.ShardedSortedTable(mesh, capacity=1 << 17,
+                                  buf_capacity=1 << 20, spec=spec)
+        step = DS.make_sorted_count_step(spec, mesh)
+        for b in range(len(codes) // bsz):
+            sl = slice(b * bsz, (b + 1) * bsz)
+            t = step(t, codes[sl], lengths[sl], bcs[sl])
+        t = step.finish(t)
+        return DS.gather_sorted_compact(t)
+
+    wh, wc = run()
+    monkeypatch.setenv("H10X_FORCE_ROUTING", "1")
+    gh, gc = run()
+    assert gh.tolist() == wh.tolist()
+    assert gc.tolist() == wc.tolist()
+
+
+def test_lane_overflow_auto_retry_completes():
+    """A pathologically skewed lane (identical reads -> every emission owned
+    by ONE shard) overflows the expected-load auto-sized lanes; the engine
+    must recount with doubled lanes instead of aborting (VERDICT r4 item 7)
+    and end byte-identical to the plain single-device pass."""
+    from hash10x_tpu.engine import Engine, EngineConfig
+    from hash10x_tpu.io.fqb import Fqb
+    from hash10x_tpu.core.encode import pack_2bit
+    import hash10x_tpu.table.sorted_table as st
+
+    n, L = 2048, 120
+    reads = np.zeros((n, L), np.uint8)        # poly-A: one canonical k-mer
+    fqb = Fqb(packed=pack_2bit(reads), lengths=np.full(n, L, np.int32),
+              barcode_ids=np.zeros(n, np.int32),
+              barcode_keys=np.zeros(1, np.uint32), read_len=L)
+
+    def mk(shards):
+        # w=1: every position emits (no in-kernel compaction), so the one
+        # value's owner receives per*P keys >> the 2E/n + 4096 auto lane
+        return Engine(EngineConfig(spec=HashSpec(k=21, w=1, seed=17),
+                                   count_mode="occurrences", table_bits=14,
+                                   batch_reads=2048, flush_batches=2,
+                                   n_shards=shards), log=None)
+
+    plain = mk(1)
+    plain.count(fqb)
+    ph, pc = st.compact(plain._flushed())
+
+    stages = []
+    sharded = mk(8)
+    sharded.timer.stage = lambda msg: stages.append(msg)  # capture retries
+    sharded.count(fqb)
+    from hash10x_tpu.dist import sharded_sorted as DS
+    gh, gc = DS.gather_sorted_compact(sharded._dt)
+    assert any("lane overflow" in s for s in stages), stages
+    assert sharded.cfg.lane_capacity > 0   # the grown knob sticks
+    np.testing.assert_array_equal(np.asarray(ph), gh)
+    np.testing.assert_array_equal(np.asarray(pc), gc)
