@@ -44,6 +44,9 @@ O(|edges|) for propagation.  No (B, n_codes) anything.
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time
 from typing import List, Tuple
 
 import jax
@@ -139,7 +142,11 @@ def _win_edges(codes_pad, seg_pad, p_pad, a, d, fkeys, n_codes_u, n_f_u,
     """Bipartite edge keys for one window: for friend pairs (c1,c2) sharing
     k-mer h, edges (p1 = fwd position of (c1,h)) -> rank(c1,c2) and
     (p2 = fwd position of (c2,h)) -> rank(c2,c1), packed p*n_f+f (U64MAX
-    elsewhere)."""
+    elsewhere).  ``fkeys`` may carry U64MAX pads at the tail (device-
+    resident friend set).  rank_join: the earlier searchsorted+verify form
+    still random-gathered ``fkeys[i]`` per window; the join is now pure
+    lax.sort end to end."""
+    from ..table.incidence import rank_join
     cw = jax.lax.dynamic_slice(codes_pad, (a,), (w,))
     sw = jax.lax.dynamic_slice(seg_pad, (a,), (w,))
     pw = jax.lax.dynamic_slice(p_pad, (a,), (w,))
@@ -149,15 +156,9 @@ def _win_edges(codes_pad, seg_pad, p_pad, a, d, fkeys, n_codes_u, n_f_u,
         (jnp.arange(w, dtype=jnp.int32) < (jnp.int32(w) - d))
     key = jnp.where(ok, c1 * n_codes_u + c2, _U64MAX)
     km = jnp.where(ok, c2 * n_codes_u + c1, _U64MAX)
-    cap = jnp.int64(fkeys.shape[0] - 1)
-    # method="sort": binary search is ~21 random-gather passes over the friend
-    # table per call, which dominated the edge sweep (measured ~190s at 50k
-    # codes); the sort-based rank join is pure lax.sort
-    i1 = jnp.minimum(jnp.searchsorted(fkeys, key, method="sort")
-                     .astype(jnp.int64), cap)
-    isf = ok & (fkeys[i1] == key)
-    i2 = jnp.minimum(jnp.searchsorted(fkeys, km, method="sort")
-                     .astype(jnp.int64), cap)
+    i1, f1 = rank_join(fkeys, key)
+    i2, _ = rank_join(fkeys, km)
+    isf = ok & f1
     p1 = pw.astype(jnp.uint64)
     p2 = jnp.roll(pw, -d).astype(jnp.uint64)
     e1 = jnp.where(isf, p1 * n_f_u + i1.astype(jnp.uint64), _U64MAX)
@@ -165,20 +166,24 @@ def _win_edges(codes_pad, seg_pad, p_pad, a, d, fkeys, n_codes_u, n_f_u,
     return e1, e2
 
 
-def _sweep_into_table(widths_and_keys, buf_factor: int = 8):
-    """Append a stream of (width, device u64 keys) into a flush_grow table.
+def _cooccur_table(sj: "_ShiftJoin", n_codes: int):
+    """Run the c1 < c2 co-occurrence sweep into an LSM table; returns the
+    flushed DEVICE (sorted keys with U64MAX pads, shares) sliced to a pow2
+    bucket of the real fill (device-resident — the host compact bounced the
+    full co-occurrence set through the relay)."""
+    n_codes_u = jnp.uint64(max(n_codes, 1))
 
-    Capacity grows 4x at a time from a 2^18 floor (flush_grow load 0.25):
-    every distinct (capacity, buffer) pair is a fresh remote compile of the
-    merge, so fewer/larger steps beat tight sizing.  Steady-state flushes are
-    SYNC-FREE: while the host-side occupancy bound (filled + buffered) stays
-    under load, ``st.flush`` cannot spill; only boundary-crossing flushes pay
-    flush_grow's host sync (which refreshes the exact bound)."""
+    def gen():
+        for d in range(1, sj.D):
+            for a, w in sj.windows(d):
+                yield w, _win_keys(sj.codes_d, sj.seg_d, jnp.int64(a),
+                                   jnp.int32(d), n_codes_u, w)
+
     t = None
     bound = 0
-    for w, keys in widths_and_keys:
+    for w, keys in gen():
         if t is None:
-            t = st.make_sorted_table(1 << 18, _pow2(buf_factor * w))
+            t = st.make_sorted_table(1 << 18, _pow2(8 * w))
         if t.buf_n + w > t.buf.shape[0]:
             if bound + t.buf_n <= 0.25 * t.capacity:
                 bound += t.buf_n
@@ -187,9 +192,10 @@ def _sweep_into_table(widths_and_keys, buf_factor: int = 8):
                 t, bound = st.flush_grow(t, load=0.25, return_count=True)
         t = st.append(t, keys)
     if t is None:
-        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
-    t = st.flush_grow(t)
-    return st.compact(t)
+        return None, None, 0
+    t, n_fill = st.flush_grow(t, return_count=True)
+    w = _pow2(max(n_fill, 8))
+    return t.hashes[:w], t.counts[:w], n_fill
 
 
 def cooccurrence_counts(inc: Incidence, chunk: int = _CHUNK,
@@ -199,18 +205,11 @@ def cooccurrence_counts(inc: Incidence, chunk: int = _CHUNK,
     share(c1, c2) = |{h : (c1,h), (c2,h) in incidence}| — exactly the oracle's
     ``barcode_shares`` for every c1 at once (symmetric; both orders present)."""
     sj = _ShiftJoin(inc, chunk)
-    n_codes_u = jnp.uint64(max(inc.n_codes, 1))
-
-    def gen():
-        for d in range(1, sj.D):
-            for a, w in sj.windows(d):
-                yield w, _win_keys(sj.codes_d, sj.seg_d, jnp.int64(a),
-                                   jnp.int32(d), n_codes_u, w)
-
-    k1, s1 = _sweep_into_table(gen())
-    if len(k1) == 0:
-        return k1, s1
-    return _mirror_sort(k1, s1, inc.n_codes)
+    k1, s1, n_fill = _cooccur_table(sj, inc.n_codes)
+    if n_fill == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+    return _mirror_sort(np.asarray(k1)[:n_fill], np.asarray(s1)[:n_fill],
+                        inc.n_codes)
 
 
 def _mirror_sort(k1, s1, n_codes: int):
@@ -231,6 +230,20 @@ def friend_pairs(pair_keys: np.ndarray, shares: np.ndarray,
                  min_friend_share: int) -> np.ndarray:
     """Sorted u64 keys (c1 * n_codes + c2) whose share >= threshold."""
     return pair_keys[shares >= min_friend_share]
+
+
+@jax.jit
+def _friend_mirror(h, c, nc_u, thr_u):
+    """Device friend set from the c1 < c2 co-occurrence table: band-filter,
+    mirror to both orders, sort.  Returns (sorted friend keys with U64MAX
+    pads, real count).  Mirrors AFTER the threshold filter — the previous
+    flow mirrored and host-compacted the FULL co-occurrence set (a 2x-pair-
+    volume device sort plus ~240 MB of relay transfers at 50k codes)."""
+    keep = (h != _U64MAX) & (c >= thr_u)
+    f1 = jnp.where(keep, h, _U64MAX)
+    f2 = jnp.where(keep, (h % nc_u) * nc_u + (h // nc_u), _U64MAX)
+    fk = jnp.sort(jnp.concatenate([f1, f2]))
+    return fk, jnp.sum(fk != _U64MAX)
 
 
 def _forward_positions(inc: Incidence) -> np.ndarray:
@@ -390,33 +403,52 @@ def _dense_rank_delta(combined, base):
     """dense_rank(combined) - dense_rank(base) over the distinct values of
     ``combined`` — the device form of np.unique + two searchsorteds (host
     unique over the pair volume was the residual cost at 1M+ barcodes).
-    method="sort": binary-search gathers lower poorly on TPU."""
+    distinct_below: merge-join ranks, no gathers (``dense_of_sorted[idx]``
+    random-gathered the full pair volume)."""
+    from ..utils.dense import distinct_below
     s = jnp.sort(combined)
     is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    dense_of_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
     q = jnp.concatenate([combined, base])
-    idx = jnp.searchsorted(s, q, method="sort")
-    idx = jnp.minimum(idx, s.shape[0] - 1)
-    d = dense_of_sorted[idx]
+    d = distinct_below(s, is_new, q)
     n = combined.shape[0]
     return (d[:n] - d[n:]).astype(jnp.int32)
+
+
+@jax.jit
+def _canon_fused(labels, offsets_pad, K_u, n_real_u):
+    """combined/base built ON device (boundary scatter + cumsum) — uploading
+    host-built combined AND base cost 4x the label volume in relay
+    transfers."""
+    Np = labels.shape[0]
+    pos = jnp.arange(Np, dtype=jnp.int32)
+    valid = pos.astype(jnp.int64) < n_real_u
+    marks = jnp.zeros(Np, jnp.int32).at[offsets_pad].add(1, mode="drop")
+    code_of_p = jnp.cumsum(marks).astype(jnp.int64)
+    big = jnp.int64(1) << 62
+    combined = jnp.where(valid, code_of_p * K_u + labels.astype(jnp.int64),
+                         big)
+    base = jnp.where(valid, code_of_p * K_u, big)
+    return _dense_rank_delta(combined, base)
 
 
 def canonical_ranks(inc: Incidence, labels: np.ndarray) -> np.ndarray:
     """Dense-rank labels per barcode into canonical cluster ids (first-
     appearing k-mer numbering: a component's label IS its min local index, so
     ascending label order == first-appearance order).  Ranking runs on
-    device (sort + boundary cumsum + sort-join)."""
+    device (sort + boundary cumsum + merge-join, gather-free)."""
     if inc.n_pairs == 0:
         return np.zeros(0, np.int32)
-    code_of_p = np.repeat(
-        np.arange(inc.n_codes, dtype=np.int64), np.diff(inc.code_offsets))
-    K = int(np.diff(inc.code_offsets).max(initial=0)) + 1
-    combined = code_of_p * np.int64(K) + labels.astype(np.int64)
-    # base = each element's code block start; every code with pairs has at
-    # least one combined value >= code*K, so the delta is the in-code rank
-    return np.asarray(_dense_rank_delta(jnp.asarray(combined),
-                                        jnp.asarray(code_of_p * np.int64(K))))
+    n_pairs = inc.n_pairs
+    Np = _pow2(n_pairs)
+    K = int(labels.max(initial=0)) + 1
+    lab_pad = np.zeros(Np, np.int32)
+    lab_pad[:n_pairs] = labels
+    offs_in = inc.code_offsets[1:-1]
+    offs_pad = np.full(_pow2(max(len(offs_in), 4)), Np, np.int64)
+    offs_pad[:len(offs_in)] = np.minimum(offs_in, Np)
+    d = _canon_fused(jnp.asarray(lab_pad), jnp.asarray(offs_pad),
+                     jnp.int64(K), jnp.int64(n_pairs))
+    return np.asarray(d)[:n_pairs].astype(np.int32)
 
 
 def cluster_codes_sparse(inc: Incidence, min_friend_share: int = 8,
@@ -424,20 +456,51 @@ def cluster_codes_sparse(inc: Incidence, min_friend_share: int = 8,
     """The scalable ``--codeClusters`` pass: sparse co-occurrence + global
     propagation.  Bit-equal to ``oracle.cluster_ref.cluster_barcode_friend``
     with no cap (tests enforce).  Returns per-code label arrays (or the flat
-    position-aligned array when ``flat``)."""
-    keys, shares = cooccurrence_counts(inc, chunk=chunk)
-    fkeys = friend_pairs(keys, shares, min_friend_share)
-    if len(fkeys) == 0 or inc.n_pairs == 0:
+    position-aligned array when ``flat``).
+
+    One ``_ShiftJoin`` serves both sweeps, and the co-occurrence/friend sets
+    stay DEVICE-resident between them.  ``H10X_PHASE_TIMERS=1`` prints a
+    per-phase wall attribution line to stderr (each listed phase ends at a
+    host sync, so the walls are real)."""
+    timers = os.environ.get("H10X_PHASE_TIMERS") == "1"
+    walls = {}
+    t_last = time.monotonic()
+
+    def tick(name, sync=None):
+        nonlocal t_last
+        if not timers:
+            return
+        if sync is not None:
+            jax.block_until_ready(sync)
+        now = time.monotonic()
+        walls[name] = round(now - t_last, 3)
+        t_last = now
+
+    sj = _ShiftJoin(inc, chunk) if inc.n_pairs else None
+    tick("shiftjoin_build")
+    k1, s1, n_fill = (_cooccur_table(sj, inc.n_codes) if sj is not None
+                      else (None, None, 0))
+    tick("cooccur_sweep", k1)
+    if n_fill == 0 or inc.n_pairs == 0:
         canon = canonical_ranks(inc, _local_indices(inc)) \
             if inc.n_pairs else np.zeros(0, np.int32)
+        fkeys = np.zeros(0, np.uint64)
     else:
-        sj = _ShiftJoin(inc, chunk)
+        fk_full, n_f_d = _friend_mirror(k1, s1, jnp.uint64(max(inc.n_codes, 1)),
+                                        jnp.uint32(min_friend_share))
+        n_f = int(n_f_d)
+        tick("friend_mirror")
+        fkeys = fk_full  # device; n_f real entries
+    if n_fill and inc.n_pairs and n_f == 0:
+        canon = canonical_ranks(inc, _local_indices(inc))
+    elif n_fill and inc.n_pairs:
         p_pad = jnp.asarray(np.concatenate(
             [_forward_positions(inc)[sj.pos_old],
              np.zeros(sj.W, np.int64)]).astype(np.int64))
-        fkeys_d = jnp.asarray(fkeys)
+        tick("forward_positions")
+        fkeys_d = fk_full[:_pow2(n_f)]
         n_codes_u = jnp.uint64(inc.n_codes)
-        n_f_u = jnp.uint64(len(fkeys))
+        n_f_u = jnp.uint64(n_f)
 
         # edges need no merging (each (p, f) arises once), so accumulate the
         # window outputs device-side and sort in few large rounds — routing
@@ -478,6 +541,7 @@ def cluster_codes_sparse(inc: Incidence, min_friend_share: int = 8,
         all_e = (runs[0] if len(runs) == 1
                  else jnp.sort(jnp.concatenate(runs)))
         n_real = int(jnp.searchsorted(all_e, _U64MAX))
+        tick("edge_sweep")
         # pad the edge count to a power of two so downstream jits see few
         # distinct shapes; pad edges map to sentinel segments (p=n_p, f=n_f)
         # which segment_min drops
@@ -490,10 +554,14 @@ def cluster_codes_sparse(inc: Incidence, min_friend_share: int = 8,
         valid = ekeys_d != _U64MAX
         p_e = jnp.where(valid, (ekeys_d // n_f_u).astype(jnp.int64),
                         inc.n_pairs)
-        f_e = jnp.where(valid, (ekeys_d % n_f_u).astype(jnp.int64),
-                        len(fkeys))
-        labels = propagate_labels(inc, p_e, f_e, n_f=len(fkeys))
+        f_e = jnp.where(valid, (ekeys_d % n_f_u).astype(jnp.int64), n_f)
+        labels = propagate_labels(inc, p_e, f_e, n_f=n_f)
+        tick("propagate")
         canon = canonical_ranks(inc, labels)
+        tick("canonical_ranks")
+    if timers:
+        print(f"cluster phases: {walls} (n_pairs={inc.n_pairs}, "
+              f"cooccur={n_fill if inc.n_pairs else 0})", file=sys.stderr)
     if flat:
         return canon
     return [canon[inc.code_offsets[c]:inc.code_offsets[c + 1]]

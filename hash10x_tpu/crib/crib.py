@@ -68,9 +68,10 @@ def _scan_group(spec: HashSpec, counts, first_pos, rows, lens, offs, retained):
     h, _, valid = seqhash_jnp.kmer_grid(spec, rows, lens)
     flat = jnp.where(valid, h, jnp.uint64(U64MAX)).reshape(-1)
     n = retained.shape[0]
-    idx = jnp.searchsorted(retained, flat)
-    idx_c = jnp.minimum(idx, n - 1)
-    hit = (flat != jnp.uint64(U64MAX)) & (retained[idx_c] == flat)
+    # sort-based rank join (binary-search searchsorted = random gathers)
+    from ..table.incidence import rank_join
+    idx_c, found0 = rank_join(retained, flat)
+    hit = found0 & (flat != jnp.uint64(U64MAX))
     tgt = jnp.where(hit, idx_c, n)                     # n = dropped slot
     counts = counts.at[tgt].add(1, mode="drop")
     P = valid.shape[1]

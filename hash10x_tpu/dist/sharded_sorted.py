@@ -494,9 +494,12 @@ def make_sorted_count_step(spec: HashSpec, mesh: Mesh, mode: str = "minimizer",
                 rh = a2a(sh_l).reshape(-1)
                 rb = a2a(sb_l).reshape(-1)
             # owner-side canonical rank: local slice rank + shard offset
-            idx = jnp.searchsorted(rrow, rh)
-            idx_c = jnp.minimum(idx, rrow.shape[0] - 1)
-            found = (rh != _U64MAX) & (rrow[idx_c] == rh) & (rb >= 0)
+            # (rank_join: the binary-search searchsorted ran ~log2(R) random
+            # gather passes per batch — the plain path's measured incidence
+            # wall; same medicine here)
+            from ..table.incidence import rank_join
+            idx_c, found0 = rank_join(rrow, rh)
+            found = found0 & (rh != _U64MAX) & (rb >= 0)
             rank = roffv.astype(jnp.uint64) + idx_c.astype(jnp.uint64)
             key = jnp.where(found,
                             rb.astype(jnp.uint64) * n_kmers_u + rank, _U64MAX)

@@ -37,13 +37,47 @@ from .hashspec import HashSpec, U64MAX
 from .core import seqhash_jnp
 from .kernels import minimizer_pallas
 from .table import sorted_table as st
-from .table.incidence import (Incidence, build_incidence,
+from .table.incidence import (Incidence, build_incidence, combined_key_bits,
+                              finalize_combined_pairs,
                               incidence_from_sorted_pairs, pair_keys_jit)
 from .cluster import cooccur
 from .io.fqb import Fqb
 from .utils.timing import StageTimer
 
 __all__ = ["Engine", "EngineConfig", "coverage_peaks"]
+
+
+@jax.jit
+def _split_fused(code_kmers, labels, offsets_pad, K_u, nk_u, n_real_u):
+    """One-program ``--clusterSplit`` core over pow2-padded pair arrays.
+
+    code_kmers/labels: (Np,) int32, pads past ``n_real_u``; offsets_pad:
+    internal code boundaries (pad = Np, dropped by the scatter).  Returns
+    (sorted split pair keys new_code * n_kmers + kmer with U64MAX pads,
+    sorted distinct (code * K + label) values padded, sorted boundary
+    positions padded, molecule count).  Dense ranks come from carried-
+    position double sorts — no gathers, no host round trips."""
+    Np = code_kmers.shape[0]
+    pos = jnp.arange(Np, dtype=jnp.int32)
+    valid = pos.astype(jnp.int64) < n_real_u
+    marks = jnp.zeros(Np, jnp.int32).at[offsets_pad].add(1, mode="drop")
+    code_of_p = jnp.cumsum(marks)
+    comb = jnp.where(valid, code_of_p.astype(jnp.uint64) * K_u
+                     + jnp.maximum(labels, 0).astype(jnp.uint64),
+                     jnp.uint64(U64MAX))
+    s, spos = jax.lax.sort((comb, pos), dimension=0, num_keys=1)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) \
+        & (s != jnp.uint64(U64MAX))
+    dense = jnp.cumsum(is_new.astype(jnp.int64)) - 1
+    _, new_code = jax.lax.sort((spos, dense), dimension=0, num_keys=1)
+    n_mol = jnp.sum(is_new)
+    uniq_sorted = jnp.sort(jnp.where(is_new, s, jnp.uint64(U64MAX)))
+    bpos = jnp.sort(jnp.where(is_new, jnp.arange(Np, dtype=jnp.int64),
+                              jnp.int64(1) << 62))
+    pair2 = jnp.sort(jnp.where(
+        valid, new_code.astype(jnp.uint64) * nk_u
+        + code_kmers.astype(jnp.uint64), jnp.uint64(U64MAX)))
+    return pair2, uniq_sorted, bpos, n_mol
 
 
 def coverage_peaks(hist: np.ndarray, min_frac: float = 0.05):
@@ -140,6 +174,9 @@ class Engine:
         self._split_inc_host: Optional[Incidence] = None
         self._split_inc_sh = None  # ShardedIncidence over molecule codes
         self.split_origin: Optional[np.ndarray] = None
+        # (sorted distinct code*K+label, sizes, K) — split computes it as a
+        # byproduct; report reuses it instead of re-reducing the pair volume
+        self._mol_cache = None
         self.n_reads_counted = 0
         self._read_len = 0
         self._filled_bound = 0
@@ -170,6 +207,7 @@ class Engine:
         self._split_inc_host = None
         self._split_inc_sh = None
         self.split_origin = None
+        self._mol_cache = None
         self.n_reads_counted = 0
         self._filled_bound = 0
         self._pending_nreal = None
@@ -1659,15 +1697,20 @@ class Engine:
                          f"{int(per.sum())} kmers kept")
 
     def _fused_pair_scan(self, chunk_rows: int, nmask_w: int,
-                         use_kernel: bool, S: int, pad_n: int):
+                         use_kernel: bool, S: int, pad_n: int, hb: int = 0):
         """S incidence batches per dispatch (see ``_fused_count_scan`` — the
         relay's ~1.1 ms dispatch floor dominated per-batch loops): lax.scan
-        carves, unpacks, sketches, maps hashes to retained ranks, dedups pair
-        keys, and writes the append buffer.  The retained set arrives as a
-        U64MAX-padded power-of-two argument so retained sizes bucket into few
-        compiles."""
+        carves, unpacks, sketches, keys emissions, dedups, and writes the
+        append buffer.  The retained set arrives as a U64MAX-padded
+        power-of-two argument so retained sizes bucket into few compiles.
+
+        With ``hb > 0`` (combined-key lanes, ``combined_key_bits``) batches
+        key as (barcode << hb) | hash — NO per-batch retained join at all;
+        the rank mapping happens once on the merged distinct keys
+        (``finalize_combined_pairs``).  The per-batch join (even in its
+        sort-based form) was the dominant term of the warm incidence wall."""
         cfg = self.cfg
-        key = ("pair_scan", chunk_rows, nmask_w, use_kernel, S, pad_n,
+        key = ("pair_scan", chunk_rows, nmask_w, use_kernel, S, pad_n, hb,
                cfg.batch_reads, self._read_len, cfg.mode, cfg.modulus,
                cfg.syncmer_s, cfg.kernel_compact)
         fn = self._step_cache.get(key)
@@ -1718,7 +1761,13 @@ class Engine:
                 keyed = jnp.where(emit, h, jnp.uint64(U64MAX))
                 flat_h = keyed.reshape(-1)
                 flat_bc = jnp.broadcast_to(bc[:, None], (bsz, Pp)).reshape(-1)
-                raw = pair_keys_jit(retained, flat_h, flat_bc, nk_u)
+                if hb:
+                    ok = (flat_h != jnp.uint64(U64MAX)) & (flat_bc >= 0)
+                    raw = jnp.where(
+                        ok, (flat_bc.astype(jnp.uint64) << jnp.uint64(hb))
+                        | flat_h, jnp.uint64(U64MAX))
+                else:
+                    raw = pair_keys_jit(retained, flat_h, flat_bc, nk_u)
                 keys, _, o = st.dedup_weighted(raw, slots)
                 wpos = buf_n + i * jnp.int32(slots)
                 buf, bufw = st._buf_write.__wrapped__(buf, bufw, keys, wpos)
@@ -1774,6 +1823,9 @@ class Engine:
         padded[:n_kmers] = self.retained_hashes
         retained_d = jax.device_put(padded)
         nk_u = jnp.uint64(max(n_kmers, 1))
+        # combined-key lanes skip the per-batch retained join entirely
+        # (incidence.combined_key_bits; the fallback hb=0 joins per batch)
+        hb = combined_key_bits(self.cfg.spec.k, fqb.n_barcodes)
         pt = None
         pt_bound = 0
         pt_pending = None  # pair table's OWN async fill (never the count table's)
@@ -1796,7 +1848,7 @@ class Engine:
                     grp = run["spans"][i:i + S]
                     S_use = 1 << max(len(grp) - 1, 0).bit_length()
                     step = self._fused_pair_scan(dp.shape[0], nmask_w, uk,
-                                                 S_use, pad_n)
+                                                 S_use, pad_n, hb)
                     offs = np.zeros(S_use, np.int32)
                     ms = np.zeros(S_use, np.int32)
                     for j, (off, m) in enumerate(grp):
@@ -1827,19 +1879,23 @@ class Engine:
         if pt is None:
             if int(np.asarray(self._cap_overflow)):
                 self._raise_pair_overflow()
-            pair_keys = np.zeros(0, np.uint64)
+            pair_keys, n_real = np.zeros(0, np.uint64), 0
         else:
-            # final merge + overflow check in ONE device sync, then transfer
-            # exactly the surviving keys
+            # final merge + overflow check in ONE device sync; the sorted
+            # distinct keys STAY on device for the CSR build (no host bounce)
             h, _, n_real_d = st._merge_full(pt.hashes, pt.counts, pt.buf,
                                             pt.bufw)
+            if hb:
+                # one-shot rank join + band filter over the merged keys
+                h, n_real_d = finalize_combined_pairs(h, retained_d, nk_u, hb)
             ov, n_real = (int(x) for x in
                           jax.device_get((self._cap_overflow, n_real_d)))
             if ov:
                 self._raise_pair_overflow()
-            pair_keys = np.asarray(h[:max(n_real, 0)])
+            pair_keys = h
         self.inc = incidence_from_sorted_pairs(
-            pair_keys, n_kmers=n_kmers, n_codes=fqb.n_barcodes)
+            pair_keys, n_kmers=n_kmers, n_codes=fqb.n_barcodes,
+            n_real=max(n_real, 0))
         self.timer.stage(f"incidence: {self.inc.n_pairs} pairs, "
                          f"{self.inc.n_codes} codes x {self.inc.n_kmers} kmers")
 
@@ -1983,6 +2039,7 @@ class Engine:
         inc_any = self._inc_any()
         if inc_any is None:
             raise RuntimeError("cluster requires incidence (run incidence first)")
+        self._mol_cache = None  # labels are about to change
         cfg = self.cfg
         # the distributed path engages on n_shards > 1 OR whenever a
         # device-sharded incidence already exists (e.g. a 1-shard sharded
@@ -2023,12 +2080,14 @@ class Engine:
         if self._labels_sh is not None:
             n_cl = self._labels_sh.n_molecules
         elif inc_any.n_pairs:
-            from .utils.dense import device_unique
-            flat = self.cluster_labels.astype(np.int64)
-            K = int(flat.max()) + 1
-            code_of_p = np.repeat(np.arange(inc_any.n_codes, dtype=np.int64),
-                                  np.diff(inc_any.code_offsets))
-            n_cl = len(device_unique(code_of_p * K + flat))
+            # labels are canonical per-code ranks (0..n_c-1), so the molecule
+            # count is sum over codes of (max label + 1) — one host reduceat,
+            # no device round trip of the pair volume
+            flat = self.cluster_labels
+            offs = inc_any.code_offsets
+            nz = np.flatnonzero(np.diff(offs) > 0)
+            n_cl = int((np.maximum.reduceat(flat, offs[:-1][nz])
+                        .astype(np.int64) + 1).sum()) if len(nz) else 0
         else:
             n_cl = 0
         self.timer.stage(f"cluster: {n_cl} molecules over "
@@ -2059,7 +2118,12 @@ class Engine:
     def split(self) -> None:
         """Remap (code, cluster) -> new codes (``--clusterSplit``).
 
-        Fully vectorized (no per-code Python loop — a wall at 1M+ codes): new
+        ONE fused device program (``_split_fused``): boundary-scatter
+        code-of-pair, (code, label) dense ranks via carried-position double
+        sorts (no gathers), and the split pair set — already distinct, so no
+        dedup pass — handed to the CSR build still on device.  The previous
+        form bounced the pair volume host<->device four times and random-
+        gathered dense ranks (the warm 32 s split wall of BENCH r5).  New
         code ids are the dense ranks of distinct (code, label) pairs in
         (code, label)-ascending order, exactly the oracle's ``split_codes``
         numbering.  Sharded runs split SHARD-SIDE (``split_sharded``): each
@@ -2074,7 +2138,7 @@ class Engine:
             # depend on call order — ADVICE r4)
             return self._split_sharded()
         inc = self.inc
-        flat = self._cluster_flat().astype(np.int64)
+        flat = self._cluster_flat()
         if inc.n_pairs == 0:
             self.split_inc = Incidence(inc.n_kmers, 0, np.zeros(1, np.int64),
                                        np.zeros(0, np.int32),
@@ -2083,18 +2147,28 @@ class Engine:
             self.split_origin = np.zeros((0, 2), np.int32)
             self.timer.stage("split: 0 molecule codes")
             return
-        from .utils.dense import device_dense_ranks, device_unique
-        code_of_p = self._code_of_pair()
+        n_pairs = inc.n_pairs
+        Np = 1 << max(int(n_pairs - 1).bit_length(), 10)
         K = int(flat.max()) + 1
-        combined = code_of_p * K + flat
-        uniq = device_unique(combined)
-        new_code = device_dense_ranks(combined).astype(np.int32)
-        self.split_inc = build_incidence(
-            inc.code_kmers.astype(np.int32), new_code,
-            n_kmers=inc.n_kmers, n_codes=len(uniq))
+        pad32 = np.zeros(Np - n_pairs, np.int32)
+        offs_in = inc.code_offsets[1:-1]
+        offs_pad = np.full(1 << max(int(inc.n_codes - 1).bit_length(), 4),
+                           Np, np.int64)  # Np = out of bounds -> dropped
+        offs_pad[:len(offs_in)] = np.minimum(offs_in, Np)
+        pair2, uniq_sorted, bpos, n_mol_d = _split_fused(
+            jnp.asarray(np.concatenate([inc.code_kmers, pad32])),
+            jnp.asarray(np.concatenate([flat, pad32])),
+            jnp.asarray(offs_pad), jnp.uint64(K), jnp.uint64(inc.n_kmers),
+            jnp.int64(n_pairs))
+        n_mol = int(n_mol_d)
+        uniq = np.asarray(uniq_sorted)[:n_mol]
+        sizes = np.diff(np.append(np.asarray(bpos)[:n_mol], n_pairs))
+        self._mol_cache = (uniq, sizes, K)
+        self.split_inc = incidence_from_sorted_pairs(
+            pair2, n_kmers=inc.n_kmers, n_codes=n_mol, n_real=n_pairs)
         self.split_origin = np.stack(
             [(uniq // K).astype(np.int32), (uniq % K).astype(np.int32)], axis=1)
-        self.timer.stage(f"split: {len(uniq)} molecule codes")
+        self.timer.stage(f"split: {n_mol} molecule codes")
 
     def _split_sharded(self) -> None:
         """``--clusterSplit`` over device-sharded labels: the split pair set
@@ -2144,13 +2218,19 @@ class Engine:
             return self._report_sharded(out)
         inc = self.inc
         n_kmers_per_code = np.diff(inc.code_offsets)
-        flat = self._cluster_flat().astype(np.int64)
-        if inc.n_pairs:
+        if inc.n_pairs and self._mol_cache is not None:
+            # split already reduced the pair volume to molecule stats
+            uniq, cluster_sizes, K = self._mol_cache
+            cl_code = (uniq // K).astype(np.int64)
+            n_clusters = np.bincount(cl_code, minlength=inc.n_codes)
+        elif inc.n_pairs:
+            flat = self._cluster_flat().astype(np.int64)
             code_of_p = self._code_of_pair()
             K = int(flat.max()) + 1
             combined = code_of_p * K + flat
             from .utils.dense import device_unique
             uniq, cluster_sizes = device_unique(combined, return_counts=True)
+            self._mol_cache = (uniq, cluster_sizes, K)
             cl_code = uniq // K
             n_clusters = np.bincount(cl_code, minlength=inc.n_codes)
         else:
@@ -2267,6 +2347,7 @@ class Engine:
         self.cluster_labels = None
         self.split_inc = None
         self.split_origin = None
+        self._mol_cache = None
         if "inc_code_offsets" in z:
             nk, nc = meta["inc_shape"]
             self.inc = Incidence(nk, nc, z["inc_code_offsets"],

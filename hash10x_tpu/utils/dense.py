@@ -24,12 +24,33 @@ def _sorted_marks(c):
     return s, is_new
 
 
+def distinct_below(s, is_new, q):
+    """For each query in ``q``: the number of DISTINCT values of the sorted
+    array ``s`` strictly below it — which equals dense_rank(q) when q is
+    present in s, and searchsorted-left's dense rank when absent.  Pure
+    lax.sort merge join, zero gathers (``dense_of_sorted[idx]`` was a random
+    gather over the full pair volume, one of the warm split/report walls)."""
+    T, Q = s.shape[0], q.shape[0]
+    key = jnp.concatenate([s, q])
+    # queries sort BEFORE equal table entries (tag 0 < 1), so the running
+    # distinct-table count at a query position counts strictly-less values
+    tag = jnp.concatenate([jnp.ones(T, jnp.int32), jnp.zeros(Q, jnp.int32)])
+    pay = jnp.concatenate([is_new.astype(jnp.int64),
+                           jnp.zeros(Q, jnp.int64)])
+    pos = jnp.concatenate([jnp.zeros(T, jnp.int32),
+                           jnp.arange(Q, dtype=jnp.int32)])
+    sk, stag, spay, spos = jax.lax.sort((key, tag, pay, pos),
+                                        dimension=0, num_keys=2)
+    run = jnp.cumsum(jnp.where(stag == 1, spay, 0))
+    # unsort: queries (tag 0) land first, in original order
+    _, _, dq = jax.lax.sort((stag, spos, run), dimension=0, num_keys=2)
+    return dq[:Q]
+
+
 @jax.jit
 def _dense_of(c):
     s, is_new = _sorted_marks(c)
-    dense_of_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
-    idx = jnp.searchsorted(s, c, method="sort")
-    return dense_of_sorted[jnp.minimum(idx, s.shape[0] - 1)]
+    return distinct_below(s, is_new, c)
 
 
 def device_unique(values: np.ndarray, return_counts: bool = False):
