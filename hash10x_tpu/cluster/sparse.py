@@ -248,16 +248,18 @@ def _friend_mirror(h, c, nc_u, thr_u):
 
 def _forward_positions(inc: Incidence) -> np.ndarray:
     """inv2fwd[i]: forward-CSR position of the (code, kmer) pair at inverted-
-    CSR position i.  Forward CSR is (code-major, kmer ascending); inverted is
-    (kmer-major, code ascending) — the rank of the combined (code, kmer) key
-    maps them.  Keys are all distinct, so the device dense-rank IS the rank
-    (the host double-argsort was O(pairs log pairs) host time at scale)."""
+    CSR position i.  The engine's CSR build carries it out of the inverted
+    sort for free (``Incidence.inv2fwd``); hand-built instances recompute it
+    as a device dense-rank of the combined (code, kmer) key (forward CSR is
+    code-major kmer-ascending, so the rank IS the forward position)."""
+    if inc.inv2fwd is not None:
+        return inc.inv2fwd
     from ..utils.dense import device_dense_ranks
     kmer_of_i = np.repeat(np.arange(inc.n_kmers, dtype=np.int64),
                           np.diff(inc.kmer_offsets))
     code_of_i = inc.kmer_codes.astype(np.int64)
     fwd_key = code_of_i * np.int64(inc.n_kmers) + kmer_of_i
-    return device_dense_ranks(fwd_key).astype(np.int64)
+    return device_dense_ranks(fwd_key).astype(np.int32)
 
 
 # edges above this fall back to the BLOCKED propagate: the monolithic
@@ -494,9 +496,10 @@ def cluster_codes_sparse(inc: Incidence, min_friend_share: int = 8,
     if n_fill and inc.n_pairs and n_f == 0:
         canon = canonical_ranks(inc, _local_indices(inc))
     elif n_fill and inc.n_pairs:
+        # i32 positions (half the upload; n_pairs < 2^31 by construction)
         p_pad = jnp.asarray(np.concatenate(
-            [_forward_positions(inc)[sj.pos_old],
-             np.zeros(sj.W, np.int64)]).astype(np.int64))
+            [np.asarray(_forward_positions(inc), np.int32)[sj.pos_old],
+             np.zeros(sj.W, np.int32)]))
         tick("forward_positions")
         fkeys_d = fk_full[:_pow2(n_f)]
         n_codes_u = jnp.uint64(inc.n_codes)

@@ -25,7 +25,9 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
+import time
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -77,6 +79,33 @@ def _split_fused(code_kmers, labels, offsets_pad, K_u, nk_u, n_real_u):
     pair2 = jnp.sort(jnp.where(
         valid, new_code.astype(jnp.uint64) * nk_u
         + code_kmers.astype(jnp.uint64), jnp.uint64(U64MAX)))
+    return pair2, uniq_sorted, bpos, n_mol
+
+
+@jax.jit
+def _split_fused_pairs(pairs, labels, K_u, nk_u, n_real_u):
+    """``_split_fused`` fed from the device-resident incidence pair keys
+    (engine ``_pairs_dev``): code-of-pair and kmer ids decode from the keys
+    themselves — no code_kmers upload, no offsets scatter."""
+    Np = pairs.shape[0]
+    pos = jnp.arange(Np, dtype=jnp.int32)
+    valid = pos.astype(jnp.int64) < n_real_u
+    pk = jnp.where(valid, pairs % nk_u, 0)
+    pc = jnp.where(valid, pairs // nk_u, 0)
+    comb = jnp.where(valid, pc * K_u
+                     + jnp.maximum(labels, 0).astype(jnp.uint64),
+                     jnp.uint64(U64MAX))
+    s, spos = jax.lax.sort((comb, pos), dimension=0, num_keys=1)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) \
+        & (s != jnp.uint64(U64MAX))
+    dense = jnp.cumsum(is_new.astype(jnp.int64)) - 1
+    _, new_code = jax.lax.sort((spos, dense), dimension=0, num_keys=1)
+    n_mol = jnp.sum(is_new)
+    uniq_sorted = jnp.sort(jnp.where(is_new, s, jnp.uint64(U64MAX)))
+    bpos = jnp.sort(jnp.where(is_new, jnp.arange(Np, dtype=jnp.int64),
+                              jnp.int64(1) << 62))
+    pair2 = jnp.sort(jnp.where(
+        valid, new_code.astype(jnp.uint64) * nk_u + pk, jnp.uint64(U64MAX)))
     return pair2, uniq_sorted, bpos, n_mol
 
 
@@ -173,6 +202,11 @@ class Engine:
         self._labels_sh = None  # dist.sharded_inc.ShardedLabels
         self._split_inc_host: Optional[Incidence] = None
         self._split_inc_sh = None  # ShardedIncidence over molecule codes
+        # device twins of the sorted pair-key sets (plain path): incidence
+        # keys feed split without re-uploading, split keys build the split
+        # CSR lazily — each avoided bounce is a pair-volume relay transfer
+        self._pairs_dev = None        # (u64 keys pow2-padded, n_real)
+        self._split_pairs_dev = None  # (u64 keys, n_kmers, n_mol, n_pairs)
         self.split_origin: Optional[np.ndarray] = None
         # (sorted distinct code*K+label, sizes, K) — split computes it as a
         # byproduct; report reuses it instead of re-reducing the pair volume
@@ -206,6 +240,8 @@ class Engine:
         self._labels_sh = None
         self._split_inc_host = None
         self._split_inc_sh = None
+        self._pairs_dev = None
+        self._split_pairs_dev = None
         self.split_origin = None
         self._mol_cache = None
         self.n_reads_counted = 0
@@ -230,6 +266,7 @@ class Engine:
     @inc.setter
     def inc(self, v) -> None:
         self._inc_host = v
+        self._pairs_dev = None  # device twin tracks engine.incidence() only
 
     def _inc_any(self):
         """Whichever incidence exists, preferring the device-sharded one
@@ -239,18 +276,24 @@ class Engine:
     @property
     def split_inc(self) -> Optional[Incidence]:
         """Host split incidence (molecule-code axis).  Sharded splits keep
-        it device-sharded (``_split_inc_sh``); this view materializes ONCE
-        on explicit host commands (save/tests) — ``--clusterSplit`` itself
-        never allocates O(n_pairs) on host."""
+        it device-sharded (``_split_inc_sh``), plain splits keep the sorted
+        split pair keys on device (``_split_pairs_dev``); this view
+        materializes ONCE on explicit host commands (save/tests) —
+        ``--clusterSplit`` itself never allocates O(n_pairs) on host."""
         if self._split_inc_host is None and self._split_inc_sh is not None:
             self._split_inc_host = self._split_inc_sh.to_host()
+        if self._split_inc_host is None and self._split_pairs_dev is not None:
+            pair2, nk, n_mol, n_pairs = self._split_pairs_dev
+            self._split_inc_host = incidence_from_sorted_pairs(
+                pair2, n_kmers=nk, n_codes=n_mol, n_real=n_pairs)
         return self._split_inc_host
 
     @split_inc.setter
     def split_inc(self, v) -> None:
-        """A host assignment REPLACES any sharded split state."""
+        """A host assignment REPLACES any sharded/device split state."""
         self._split_inc_host = v
         self._split_inc_sh = None
+        self._split_pairs_dev = None
 
     @property
     def cluster_labels(self) -> Optional[np.ndarray]:
@@ -1826,6 +1869,7 @@ class Engine:
         # combined-key lanes skip the per-batch retained join entirely
         # (incidence.combined_key_bits; the fallback hb=0 joins per batch)
         hb = combined_key_bits(self.cfg.spec.k, fqb.n_barcodes)
+        t_inc0 = time.monotonic()
         pt = None
         pt_bound = 0
         pt_pending = None  # pair table's OWN async fill (never the count table's)
@@ -1876,6 +1920,10 @@ class Engine:
                                         pt.buf_n + len(grp) * step.slots,
                                         pt.spilled)
                     self._cap_overflow = over
+        timers = os.environ.get("H10X_PHASE_TIMERS") == "1"
+        if timers:
+            jax.block_until_ready(pt.buf if pt is not None else retained_d)
+            t_scan = time.monotonic()
         if pt is None:
             if int(np.asarray(self._cap_overflow)):
                 self._raise_pair_overflow()
@@ -1893,9 +1941,26 @@ class Engine:
             if ov:
                 self._raise_pair_overflow()
             pair_keys = h
+        if timers:
+            t_fin = time.monotonic()
         self.inc = incidence_from_sorted_pairs(
             pair_keys, n_kmers=n_kmers, n_codes=fqb.n_barcodes,
             n_real=max(n_real, 0))
+        # keep the sorted pair keys device-resident for split (pow2 slice of
+        # the real count; the raw width is the pair table's capacity)
+        if n_real > 0 and not isinstance(pair_keys, np.ndarray):
+            wp = min(1 << max(int(n_real - 1).bit_length(), 4),
+                     int(pair_keys.shape[0]))
+            self._pairs_dev = (pair_keys[:wp], n_real)
+        else:
+            self._pairs_dev = None
+        if timers:
+            cap = 0 if pt is None else int(pt.hashes.shape[0])
+            print(f"incidence phases: scan={t_scan - t_inc0:.3f}s "
+                  f"merge+finalize={t_fin - t_scan:.3f}s "
+                  f"csr+host={time.monotonic() - t_fin:.3f}s "
+                  f"(cap={cap}, distinct={n_real if not hb else 'post-join '}"
+                  f"{n_real}, hb={hb})", file=sys.stderr)
         self.timer.stage(f"incidence: {self.inc.n_pairs} pairs, "
                          f"{self.inc.n_codes} codes x {self.inc.n_kmers} kmers")
 
@@ -2148,24 +2213,43 @@ class Engine:
             self.timer.stage("split: 0 molecule codes")
             return
         n_pairs = inc.n_pairs
-        Np = 1 << max(int(n_pairs - 1).bit_length(), 10)
         K = int(flat.max()) + 1
-        pad32 = np.zeros(Np - n_pairs, np.int32)
-        offs_in = inc.code_offsets[1:-1]
-        offs_pad = np.full(1 << max(int(inc.n_codes - 1).bit_length(), 4),
-                           Np, np.int64)  # Np = out of bounds -> dropped
-        offs_pad[:len(offs_in)] = np.minimum(offs_in, Np)
-        pair2, uniq_sorted, bpos, n_mol_d = _split_fused(
-            jnp.asarray(np.concatenate([inc.code_kmers, pad32])),
-            jnp.asarray(np.concatenate([flat, pad32])),
-            jnp.asarray(offs_pad), jnp.uint64(K), jnp.uint64(inc.n_kmers),
-            jnp.int64(n_pairs))
+        pd = self._pairs_dev
+        if pd is not None and pd[1] == n_pairs:
+            # incidence keys are still device-resident: decode code/kmer ids
+            # from the keys in-program — only the labels ride the relay
+            pairs_d, _ = pd
+            Np = int(pairs_d.shape[0])
+            lab_pad = np.zeros(Np, np.int32)
+            lab_pad[:n_pairs] = flat
+            pair2, uniq_sorted, bpos, n_mol_d = _split_fused_pairs(
+                pairs_d, jnp.asarray(lab_pad), jnp.uint64(K),
+                jnp.uint64(inc.n_kmers), jnp.int64(n_pairs))
+        else:
+            Np = 1 << max(int(n_pairs - 1).bit_length(), 10)
+            pad32 = np.zeros(Np - n_pairs, np.int32)
+            offs_in = inc.code_offsets[1:-1]
+            offs_pad = np.full(1 << max(int(inc.n_codes - 1).bit_length(), 4),
+                               Np, np.int64)  # Np = out of bounds -> dropped
+            offs_pad[:len(offs_in)] = np.minimum(offs_in, Np)
+            pair2, uniq_sorted, bpos, n_mol_d = _split_fused(
+                jnp.asarray(np.concatenate([inc.code_kmers, pad32])),
+                jnp.asarray(np.concatenate([flat, pad32])),
+                jnp.asarray(offs_pad), jnp.uint64(K), jnp.uint64(inc.n_kmers),
+                jnp.int64(n_pairs))
         n_mol = int(n_mol_d)
-        uniq = np.asarray(uniq_sorted)[:n_mol]
-        sizes = np.diff(np.append(np.asarray(bpos)[:n_mol], n_pairs))
+        # device-slice to a pow2 bucket before the pull (the padded width is
+        # the PAIR volume; molecules are ~20x fewer)
+        wm = min(1 << max(int(n_mol - 1).bit_length(), 4), Np)
+        uniq = np.asarray(uniq_sorted[:wm])[:n_mol]
+        sizes = np.diff(np.append(np.asarray(bpos[:wm])[:n_mol], n_pairs))
         self._mol_cache = (uniq, sizes, K)
-        self.split_inc = incidence_from_sorted_pairs(
-            pair2, n_kmers=inc.n_kmers, n_codes=n_mol, n_real=n_pairs)
+        # the split CSR stays device-resident; the host view materializes
+        # lazily on access (save/tests) — ``--clusterSplit`` itself moves
+        # only O(molecules) to host
+        self._split_inc_host = None
+        self._split_inc_sh = None
+        self._split_pairs_dev = (pair2, inc.n_kmers, n_mol, n_pairs)
         self.split_origin = np.stack(
             [(uniq // K).astype(np.int32), (uniq % K).astype(np.int32)], axis=1)
         self.timer.stage(f"split: {n_mol} molecule codes")
@@ -2178,6 +2262,7 @@ class Engine:
         codes_m, labels_m, _ = self._labels_sh.molecule_stats(self._inc_sh)
         self._split_inc_sh = split_sharded(self._inc_sh, self._labels_sh)
         self._split_inc_host = None
+        self._split_pairs_dev = None
         self.split_origin = np.stack([codes_m.astype(np.int32),
                                       labels_m.astype(np.int32)], axis=1)
         self.timer.stage(f"split: {len(codes_m)} molecule codes")

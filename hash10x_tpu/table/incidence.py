@@ -49,6 +49,10 @@ class Incidence:
     # inverted CSR (hashCodes): pairs sorted by (kmer, code)
     kmer_offsets: np.ndarray   # (n_kmers + 1,) int64
     kmer_codes: np.ndarray     # (P,) int32
+    # forward-CSR position of each inverted-CSR entry — falls out of the
+    # inverted sort as a carried payload; None for hand-built instances
+    # (cluster/sparse._forward_positions recomputes it then)
+    inv2fwd: "np.ndarray | None" = None  # (P,) int32
 
     @property
     def n_pairs(self) -> int:
@@ -173,13 +177,19 @@ def _csr_from_pairs(pairs, nk_u, nc_u, nbc: int, nbk: int):
     # n_pairs and the host slices them away
     cb = jnp.minimum(jnp.arange(nbc, dtype=jnp.uint64), nc_u) * nk_u
     code_offsets = jnp.searchsorted(pairs, cb, method="sort").astype(jnp.int64)
-    # kmer-major order: one more device sort (pads stay U64MAX)
-    keys2 = jnp.sort(jnp.where(
-        valid, pk.astype(jnp.uint64) * nc_u + pc.astype(jnp.uint64), _U64MAX))
+    # kmer-major order: one more device sort (pads stay U64MAX), carrying
+    # the forward position as payload — inv2fwd falls out for free (the
+    # cluster phase previously recomputed it as a device dense-rank plus two
+    # pair-volume relay transfers, 22.7 s warm at 10M pairs)
+    k2 = jnp.where(valid, pk.astype(jnp.uint64) * nc_u + pc.astype(jnp.uint64),
+                   _U64MAX)
+    keys2, inv2fwd = jax.lax.sort(
+        (k2, jnp.arange(pairs.shape[0], dtype=jnp.int32)),
+        dimension=0, num_keys=1)
     kb = jnp.minimum(jnp.arange(nbk, dtype=jnp.uint64), nk_u) * nc_u
     kmer_offsets = jnp.searchsorted(keys2, kb, method="sort").astype(jnp.int64)
     kmer_codes = jnp.where(keys2 != _U64MAX, keys2 % nc_u, 0).astype(jnp.int32)
-    return pk, code_offsets, kmer_offsets, kmer_codes
+    return pk, code_offsets, kmer_offsets, kmer_codes, inv2fwd
 
 
 def _pow2(n: int) -> int:
@@ -208,15 +218,20 @@ def incidence_from_sorted_pairs(pairs, n_kmers: int, n_codes: int,
     if pad_n > pairs_d.shape[0]:
         pairs_d = jnp.concatenate(
             [pairs_d, jnp.full(pad_n - pairs_d.shape[0], _U64MAX, jnp.uint64)])
-    pk, code_offsets, kmer_offsets, kmer_codes = _csr_from_pairs(
+    pk, code_offsets, kmer_offsets, kmer_codes, inv2fwd = _csr_from_pairs(
         pairs_d, jnp.uint64(n_kmers), jnp.uint64(n_codes),
         nbc=_pow2(n_codes + 1), nbk=_pow2(n_kmers + 1))
+    # device-slice to a pow2 bucket of the real count before the host pull —
+    # the padded width tracks the PAIR TABLE's capacity (up to ~3x n_real),
+    # and every excess byte rides the relay
+    w = min(_pow2(max(n_real, 1)), int(pk.shape[0]))
     return Incidence(
         n_kmers=n_kmers, n_codes=n_codes,
         code_offsets=np.asarray(code_offsets)[:n_codes + 1],
-        code_kmers=np.asarray(pk)[:n_real],
+        code_kmers=np.asarray(pk[:w])[:n_real],
         kmer_offsets=np.asarray(kmer_offsets)[:n_kmers + 1],
-        kmer_codes=np.asarray(kmer_codes)[:n_real],
+        kmer_codes=np.asarray(kmer_codes[:w])[:n_real],
+        inv2fwd=np.asarray(inv2fwd[:w])[:n_real],
     )
 
 
